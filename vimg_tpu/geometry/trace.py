@@ -1,0 +1,34 @@
+"""Tracer facade: picks the intersection backend for a scene.
+
+Small analytic scenes (the reference's json scenes are < 32 primitives) use
+dense brute-force tests — on TPU a (rays x prims) vectorized test beats any
+divergent traversal. Mesh scenes use the BVH backend (vimg_tpu.geometry.bvh)
+with threaded (skip-link) traversal.
+"""
+from __future__ import annotations
+
+from vimg_tpu.geometry import intersect
+from vimg_tpu.scene import ir
+
+BRUTE_FORCE_MAX_PRIMS = 64
+
+
+class BruteForceTracer:
+    """Dense all-primitives intersection."""
+
+    def __init__(self, scene: ir.Scene):
+        self.scene = scene
+
+    def closest(self, scene, ro, rd, minT, maxT) -> intersect.HitResult:
+        return intersect.intersect_bruteforce(scene, ro, rd, minT, maxT)
+
+    def occluded(self, scene, ro, rd, minT, maxT):
+        return intersect.occlude_bruteforce(scene, ro, rd, minT, maxT)
+
+
+def make_tracer(scene: ir.Scene, force=None):
+    n_prims = scene.n_tris() + scene.n_spheres()
+    if force == "brute" or (force is None and n_prims <= BRUTE_FORCE_MAX_PRIMS):
+        return BruteForceTracer(scene)
+    from vimg_tpu.geometry.bvh import BVHTracer
+    return BVHTracer(scene)

@@ -1,0 +1,67 @@
+"""Frame renderer: chunks (pixel, sample) work over jitted wavefront
+launches and accumulates into the film.
+
+This replaces the reference's 8x8-tile thread pool (include/integrators.h:
+36-153): on TPU the "tiles" are flat wavefronts of rays sized to fill the
+chip; the progress thread becomes an optional per-chunk callback.
+"""
+from __future__ import annotations
+
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vimg_tpu.geometry.trace import make_tracer
+from vimg_tpu.render import film
+from vimg_tpu.render.integrators import trace_radiance
+from vimg_tpu.scene import ir
+
+
+def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
+           progress=False, integrator=None):
+    """Render a full frame. Returns linear (H, W, 3) float32 numpy array."""
+    W, H = settings.width, settings.height
+    spp = settings.spp
+    tracer = tracer or make_tracer(scene)
+
+    total = W * H * spp
+    B = min(settings.batch_size, total)
+    n_chunks = (total + B - 1) // B
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def chunk_step(scene, accum, k0):
+        k = k0 + jnp.arange(B, dtype=jnp.int32)
+        valid = k < total
+        ks = jnp.where(valid, k, 0)
+        pix = ks // spp
+        samp = ks % spp
+        col = trace_radiance(scene, settings, tracer, pix, samp,
+                             integrator=integrator)
+        col = jnp.where(valid[:, None], col, 0.0)
+        return accum.at[pix].add(col)
+
+    accum = jnp.zeros((W * H, 3), jnp.float32)
+    t0 = time.time()
+    for c in range(n_chunks):
+        accum = chunk_step(scene, accum, jnp.int32(c * B))
+        if progress:
+            accum.block_until_ready()
+            done = min((c + 1) * B, total)
+            rate = done / max(time.time() - t0, 1e-9)
+            print(f"\r{100.0 * done / total:.2f} % done "
+                  f"({rate / 1e6:.2f} Mpaths/s)", end="", flush=True)
+    if progress:
+        print("\nRender Completed")
+
+    img = np.asarray(accum).reshape(H, W, 3) / spp
+    return img
+
+
+def render_to_png(scene, settings, path, **kw):
+    img = render(scene, settings, **kw)
+    out = film.finalize(jnp.asarray(img), tonemap=settings.tonemap)
+    film.write_png(path, out)
+    return img
