@@ -1,0 +1,137 @@
+"""BVH build + traversal tests: traversal must agree with brute force."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vimg_tpu.geometry import bvh as bvh_mod
+from vimg_tpu.geometry.bvh import (BVHTracer, build_bvh_numpy,
+                                   build_scene_bvh, bvh_traverse)
+from vimg_tpu.geometry.intersect import intersect_bruteforce, occlude_bruteforce
+from vimg_tpu.scene import ir
+from vimg_tpu.scene.json_loader import SceneBuilder
+from vimg_tpu.render.camera import Camera
+from vimg_tpu.core.math import look_at
+
+
+def _random_tri_scene(n_tris=200, n_spheres=10, seed=0):
+    r = np.random.default_rng(seed)
+    b = SceneBuilder()
+    m = b.add_material(ir.MAT_LAMBERTIAN, base=(0.5, 0.5, 0.5))
+    centers = r.uniform(-10, 10, size=(n_tris, 3)).astype(np.float32)
+    verts = []
+    idx = []
+    for i, c in enumerate(centers):
+        tri = c + r.uniform(-0.8, 0.8, size=(3, 3)).astype(np.float32)
+        verts.append(tri)
+        idx.append([3 * i, 3 * i + 1, 3 * i + 2])
+    b.add_mesh(np.concatenate(verts), np.asarray(idx), m)
+    for _ in range(n_spheres):
+        b.add_sphere(r.uniform(-10, 10, 3), r.uniform(0.2, 1.5), m)
+    cam = Camera.make(look_at([0, 0, 30], [0, 0, 0], [0, 1, 0]), 64, 64, 45.0)
+    return b.build(camera=cam)
+
+
+def _random_rays(n, seed=1):
+    r = np.random.default_rng(seed)
+    ro = r.uniform(-15, 15, size=(n, 3)).astype(np.float32)
+    rd = r.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)
+
+
+class TestBVHBuild:
+    def test_structure_valid(self):
+        scene = _random_tri_scene()
+        arrays = build_scene_bvh(scene, builder="numpy")
+        N = arrays.node_min.shape[0]
+        count = np.asarray(arrays.node_count)
+        skip = np.asarray(arrays.node_skip)
+        start = np.asarray(arrays.node_start)
+        assert (skip > np.arange(N)).all() and (skip <= N).all()
+        # leaves cover all prims exactly once
+        P = arrays.prim_type.shape[0]
+        covered = np.zeros(P, bool)
+        for i in range(N):
+            if count[i] > 0:
+                assert count[i] <= bvh_mod.LEAF_SIZE * 4  # sanity
+                covered[start[i]:start[i] + count[i]] = True
+        assert covered.all()
+
+    def test_native_matches_numpy_cover(self):
+        pytest.importorskip("ctypes")
+        from vimg_tpu.runtime.native import build_bvh_native
+        scene = _random_tri_scene()
+        bmin, bmax, centers, _, _ = bvh_mod.scene_prim_bounds(scene)
+        nat = build_bvh_native(bmin, bmax, centers)
+        ref = build_bvh_numpy(bmin, bmax, centers)
+        # same prim coverage (ordering may differ); same root box
+        assert sorted(nat["order"].tolist()) == sorted(ref["order"].tolist())
+        assert np.allclose(nat["node_min"][0], ref["node_min"][0])
+        assert np.allclose(nat["node_max"][0], ref["node_max"][0])
+        # skip links valid
+        N = nat["node_min"].shape[0]
+        assert (nat["node_skip"] > np.arange(N)).all()
+
+
+class TestBVHTraversal:
+    @pytest.mark.parametrize("builder", ["numpy", "native"])
+    def test_closest_matches_bruteforce(self, builder):
+        scene = _random_tri_scene()
+        if builder == "native":
+            arrays = build_scene_bvh(scene, builder="native")
+        else:
+            arrays = build_scene_bvh(scene, builder="numpy")
+        ro, rd = _random_rays(512)
+        minT = jnp.full((512,), 1e-4)
+        maxT = jnp.full((512,), jnp.inf)
+        hr_b = bvh_traverse(scene, arrays, ro, rd, minT, maxT)
+        hr_f = intersect_bruteforce(scene, ro, rd, minT, maxT)
+        t_b, t_f = np.asarray(hr_b.t), np.asarray(hr_f.t)
+        both_hit = np.isfinite(t_b) & np.isfinite(t_f)
+        assert (np.isfinite(t_b) == np.isfinite(t_f)).mean() > 0.999
+        assert np.allclose(t_b[both_hit], t_f[both_hit], rtol=1e-4, atol=1e-4)
+        # same primitive found (modulo exact ties)
+        same = (np.asarray(hr_b.prim_id)[both_hit]
+                == np.asarray(hr_f.prim_id)[both_hit])
+        assert same.mean() > 0.99
+
+    def test_occlusion_matches_bruteforce(self):
+        scene = _random_tri_scene()
+        arrays = build_scene_bvh(scene, builder="numpy")
+        ro, rd = _random_rays(512, seed=3)
+        minT = jnp.full((512,), 1e-4)
+        maxT = jnp.full((512,), 20.0)
+        occ_b = np.asarray(bvh_traverse(scene, arrays, ro, rd, minT, maxT,
+                                        any_hit=True))
+        occ_f = np.asarray(occlude_bruteforce(scene, ro, rd, minT, maxT))
+        assert (occ_b == occ_f).mean() > 0.999
+
+    def test_maxT_respected(self):
+        scene = _random_tri_scene(n_tris=50, n_spheres=0)
+        arrays = build_scene_bvh(scene, builder="numpy")
+        ro, rd = _random_rays(256, seed=5)
+        minT = jnp.full((256,), 1e-4)
+        maxT = jnp.full((256,), 2.0)
+        hr = bvh_traverse(scene, arrays, ro, rd, minT, maxT)
+        t = np.asarray(hr.t)
+        assert np.all((t <= 2.0 + 1e-5) | np.isinf(t))
+
+
+class TestBVHTracerEndToEnd:
+    def test_render_matches_bruteforce_tracer(self):
+        """Full MIS render via BVH == via brute force (same RNG keys)."""
+        from vimg_tpu.geometry.trace import BruteForceTracer
+        from vimg_tpu.render.integrators import trace_radiance
+
+        scene = _random_tri_scene(n_tris=100, n_spheres=5)
+        light = None  # no lights: use s_normal + material-style check
+        settings = ir.RenderSettings(width=64, height=64, spp=1,
+                                     max_depth=3, integrator="s_normal")
+        pix = jnp.arange(1024, dtype=jnp.int32)
+        samp = jnp.zeros((1024,), jnp.int32)
+        col_bf = trace_radiance(scene, settings, BruteForceTracer(scene),
+                                pix, samp, integrator="s_normal")
+        col_bvh = trace_radiance(scene, settings, BVHTracer(scene),
+                                 pix, samp, integrator="s_normal")
+        assert np.allclose(np.asarray(col_bf), np.asarray(col_bvh),
+                           atol=1e-4)

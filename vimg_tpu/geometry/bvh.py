@@ -296,10 +296,13 @@ def _aabb_hit(node_min, node_max, ro, inv_rd, minT, maxT):
     return t0 <= t1
 
 
-def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False):
+def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False,
+                 count_cost=False):
     """Threaded (skip-link) traversal over the whole wavefront.
 
-    Returns HitResult (closest) or a bool occlusion mask (any_hit).
+    Returns HitResult (closest), a bool occlusion mask (any_hit), or
+    (HitResult, cost) with the reference's heatmap cost model
+    (0.5/node visit, 1.0/prim test — bvh.h:17-20) when count_cost.
     """
     B = ro.shape[0]
     N = bvh.node_min.shape[0]
@@ -315,6 +318,8 @@ def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False):
     )
     if any_hit:
         state["occluded"] = jnp.zeros((B,), bool)
+    if count_cost:
+        state["cost"] = minT * 0.0
 
     def cond(s):
         return jnp.any(s["cur"] < N)
@@ -335,18 +340,25 @@ def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False):
         t, ptype, pidx, u, v = _leaf_test(
             scene, bvh, start, jnp.where(do_leaf, count, 0), ro, rd, minT,
             s["best_t"])
-        lane = jnp.argmin(t, axis=1)
-        tmin = jnp.take_along_axis(t, lane[:, None], 1)[:, 0]
+        tmin = jnp.min(t, axis=1)
+        lane = jnp.argmin(t, axis=1).astype(jnp.int32)
+        onehot = (jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
+                  == lane[:, None])
         better = do_leaf & (tmin < s["best_t"])
 
-        take = lambda a: jnp.take_along_axis(a, lane[:, None], 1)[:, 0]
+        def take_f(a):
+            return jnp.sum(jnp.where(onehot, a, 0.0), axis=1)
+
+        def take_i(a):
+            return jnp.sum(jnp.where(onehot, a, 0), axis=1).astype(jnp.int32)
+
         best_t = jnp.where(better, tmin, s["best_t"])
         new = dict(
             best_t=best_t,
-            ptype=jnp.where(better, take(ptype), s["ptype"]),
-            pidx=jnp.where(better, take(pidx), s["pidx"]),
-            u=jnp.where(better, take(u), s["u"]),
-            v=jnp.where(better, take(v), s["v"]),
+            ptype=jnp.where(better, take_i(ptype), s["ptype"]),
+            pidx=jnp.where(better, take_i(pidx), s["pidx"]),
+            u=jnp.where(better, take_f(u), s["u"]),
+            v=jnp.where(better, take_f(v), s["v"]),
         )
 
         descend = hit_box & ~is_leaf
@@ -355,6 +367,12 @@ def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False):
             occ = s["occluded"] | (better & jnp.isfinite(tmin))
             nxt = jnp.where(occ, N, nxt)   # early exit for shadow rays
             new["occluded"] = occ
+        if count_cost:
+            new["cost"] = (s["cost"]
+                           + jnp.where(active, COST_TRAVERSE, 0.0)
+                           + jnp.where(do_leaf,
+                                       COST_INTERSECT * count.astype(jnp.float32),
+                                       0.0))
         new["cur"] = jnp.where(active, nxt, s["cur"])
         return new
 
@@ -363,11 +381,14 @@ def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False):
     if any_hit:
         return state["occluded"]
     found = state["pidx"] >= 0
-    return intersect.HitResult(
+    hr = intersect.HitResult(
         t=jnp.where(found, state["best_t"], jnp.inf),
         prim_type=state["ptype"],
         prim_id=jnp.where(found, state["pidx"], 0),
         u=state["u"], v=state["v"])
+    if count_cost:
+        return hr, state["cost"]
+    return hr
 
 
 class BVHTracer:

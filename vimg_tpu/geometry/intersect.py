@@ -40,24 +40,28 @@ def tri_intersect(ro, rd, p0, p1, p2, minT, maxT):
     p1t = p1 - ro
     p2t = p2 - ro
 
-    ad = jnp.abs(rd)
-    kz = jnp.argmax(ad, axis=-1)
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
+    # permute so the largest |dir| component is z (watertightness). TPU
+    # note: per-lane gathers (take_along_axis) along a size-3 axis are
+    # catastrically slow on the VPU — use branchless 3-way selects instead.
+    adx, ady, adz = jnp.abs(rd[..., 0]), jnp.abs(rd[..., 1]), jnp.abs(rd[..., 2])
+    kz0 = (adx >= ady) & (adx >= adz)          # kz == 0
+    kz1 = (~kz0) & (ady >= adz)                # kz == 1
 
-    def _perm(v, shape_ref):
-        # gather per-ray permuted components; v broadcast against indices
-        vb = jnp.broadcast_to(v, shape_ref)
-        def take(k):
-            kb = jnp.broadcast_to(k[..., None], shape_ref[:-1] + (1,))
-            return jnp.take_along_axis(vb, kb, axis=-1)[..., 0]
-        return take(kx), take(ky), take(kz)
+    def _perm(v):
+        x, y, z = v[..., 0], v[..., 1], v[..., 2]
+        # kz=0 -> (kx,ky,kz)=(1,2,0); kz=1 -> (2,0,1); kz=2 -> (0,1,2)
+        px = jnp.where(kz0, y, jnp.where(kz1, z, x))
+        py = jnp.where(kz0, z, jnp.where(kz1, x, y))
+        pz = jnp.where(kz0, x, jnp.where(kz1, y, z))
+        return px, py, pz
 
-    shape = jnp.broadcast_shapes(rd.shape, p0t.shape)
-    dx, dy, dz = _perm(rd, shape)
-    p0x, p0y, p0z = _perm(p0t, shape)
-    p1x, p1y, p1z = _perm(p1t, shape)
-    p2x, p2y, p2z = _perm(p2t, shape)
+    dx, dy, dz = _perm(rd)
+    dx, dy, dz = (jnp.broadcast_to(dx, jnp.broadcast_shapes(dx.shape, p0t.shape[:-1])),
+                  jnp.broadcast_to(dy, jnp.broadcast_shapes(dy.shape, p0t.shape[:-1])),
+                  jnp.broadcast_to(dz, jnp.broadcast_shapes(dz.shape, p0t.shape[:-1])))
+    p0x, p0y, p0z = _perm(p0t)
+    p1x, p1y, p1z = _perm(p1t)
+    p2x, p2y, p2z = _perm(p2t)
 
     sx = -dx / dz
     sy = -dy / dz
@@ -152,26 +156,30 @@ def intersect_bruteforce(scene: ir.Scene, ro, rd, minT, maxT):
             ro[:, None, :], rd[:, None, :],
             p[None, :, 0], p[None, :, 1], p[None, :, 2],
             minT[:, None], maxT[:, None])        # (B, T)
-        ti = jnp.argmin(t, axis=1)
-        tmin = jnp.take_along_axis(t, ti[:, None], axis=1)[:, 0]
+        # min + one-hot select: pure reductions, no per-row gathers (slow
+        # on the TPU VPU)
+        tmin = jnp.min(t, axis=1)
+        ti = jnp.argmin(t, axis=1).astype(jnp.int32)
+        onehot = (jnp.arange(t.shape[1], dtype=jnp.int32)[None, :]
+                  == ti[:, None])
         better = tmin < best_t
         best_t = jnp.where(better, tmin, best_t)
         best_type = jnp.where(better, ir.PRIM_TRI, best_type)
-        best_id = jnp.where(better, ti.astype(jnp.int32), best_id)
-        best_u = jnp.where(better, jnp.take_along_axis(u, ti[:, None], 1)[:, 0], best_u)
-        best_v = jnp.where(better, jnp.take_along_axis(v, ti[:, None], 1)[:, 0], best_v)
+        best_id = jnp.where(better, ti, best_id)
+        best_u = jnp.where(better, jnp.sum(jnp.where(onehot, u, 0.0), 1), best_u)
+        best_v = jnp.where(better, jnp.sum(jnp.where(onehot, v, 0.0), 1), best_v)
 
     if scene.n_spheres() > 0:
         t, ok = sphere_intersect(
             ro[:, None, :], rd[:, None, :],
             scene.sph_center[None], scene.sph_radius[None],
             minT[:, None], maxT[:, None])        # (B, S)
-        si = jnp.argmin(t, axis=1)
-        smin = jnp.take_along_axis(t, si[:, None], axis=1)[:, 0]
+        smin = jnp.min(t, axis=1)
+        si = jnp.argmin(t, axis=1).astype(jnp.int32)
         better = smin < best_t
         best_t = jnp.where(better, smin, best_t)
         best_type = jnp.where(better, ir.PRIM_SPHERE, best_type)
-        best_id = jnp.where(better, si.astype(jnp.int32), best_id)
+        best_id = jnp.where(better, si, best_id)
 
     return HitResult(t=best_t, prim_type=best_type, prim_id=best_id,
                      u=best_u, v=best_v)
@@ -285,8 +293,34 @@ def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
     dsdv = jnp.where(ok_det, dsdv, 0.0)
     dtdv = jnp.where(ok_det, dtdv, 0.0)
 
-    # normal mapping (reference triangle.cpp:95-122) is applied in the
-    # shading stage (textures module) — requires atlas lookups.
+    # normal mapping (reference triangle.cpp:95-122)
+    if scene.has_normal_maps:
+        from vimg_tpu.core.math import gram_schmidt
+        from vimg_tpu.textures.texture import normal_at_uv
+        ntex = scene.mat_tex[scene.tri_mat[tid], 1]
+        has_nm = ntex >= 0
+        has_nmuv = (flags & ir.TRI_HAS_UV_NORMALMAP) != 0
+        nm0 = jnp.where(has_nmuv[:, None], scene.vuv_nmap[vidx[:, 0]],
+                        jnp.asarray([0.0, 0.0]))
+        nm1 = jnp.where(has_nmuv[:, None], scene.vuv_nmap[vidx[:, 1]],
+                        jnp.asarray([1.0, 0.0]))
+        nm2 = jnp.where(has_nmuv[:, None], scene.vuv_nmap[vidx[:, 2]],
+                        jnp.asarray([1.0, 1.0]))
+        n_uv_interp = u[:, None] * nm0 + v[:, None] * nm1 + w[:, None] * nm2
+        n_uv = jnp.where(has_nmuv[:, None], n_uv_interp,
+                         jnp.stack([u, v], axis=-1))
+        n_tan = normal_at_uv(scene, ntex, n_uv)
+        au2, av2 = onb_from_normal(n_s)
+        n_local = (au2 * n_tan[:, 0:1] + av2 * n_tan[:, 1:2]
+                   + n_s * n_tan[:, 2:3])
+        ulen = jnp.sqrt(jnp.maximum(dot(dpdu, dpdu), 1e-20))[:, None]
+        vlen = jnp.sqrt(jnp.maximum(dot(dpdv, dpdv), 1e-20))[:, None]
+        dpdu_nm = normalize(gram_schmidt(dpdu, n_local)) * ulen
+        dpdv_nm = normalize(cross(n_local, dpdu_nm)) * vlen
+        m = has_nm[:, None]
+        dpdu = jnp.where(m, dpdu_nm, dpdu)
+        dpdv = jnp.where(m, dpdv_nm, dpdv)
+        n_s = jnp.where(m, n_local, n_s)
 
     tangent = normalize(dpdu - n_s * dotk(dpdu, n_s))
     bitangent = normalize(cross(n_s, tangent))

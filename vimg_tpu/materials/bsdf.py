@@ -286,14 +286,15 @@ def _dielectric_sample(scene, mat_id, wi, hit, rands):
     return wo, eta_in
 
 
-def eval_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize):
+def eval_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize,
+             cone_width=None):
     """(f, pdf) pair (reference Material::eval_pdf_pair). Delta materials
     return (0, 0)."""
     mt = scene.mat_type[mat_id]
     B = mat_id.shape[0]
     f = jnp.zeros((B, 3))
     pdf = jnp.zeros((B,))
-    base_col = base_color_at_hit(scene, mat_id, hit)
+    base_col = base_color_at_hit(scene, mat_id, hit, cone_width, wi)
 
     if scene.has_lambertian:
         cospi = jnp.maximum(0.0, dot(wo, hit.n_s)) * INV_PI
@@ -311,13 +312,14 @@ def eval_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize):
     return f, pdf
 
 
-def eval_div_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize):
+def eval_div_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize,
+                 cone_width=None):
     """f/pdf with analytic cancellation where the reference has it
     (Lambertian -> albedo, dielectric -> 1)."""
     mt = scene.mat_type[mat_id]
     B = mat_id.shape[0]
     out = jnp.zeros((B, 3))
-    base_col = base_color_at_hit(scene, mat_id, hit)
+    base_col = base_color_at_hit(scene, mat_id, hit, cone_width, wi)
 
     if scene.has_lambertian:
         m = (mt == ir.MAT_LAMBERTIAN)[..., None]
@@ -329,7 +331,8 @@ def eval_div_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize):
         ev, pp = _principled_eval_pdf(scene, mat_id, wi, wo, hit, regularize,
                                       base_col)
         m = mt == ir.MAT_PRINCIPLED
-        safe = jnp.where((pp > 0.0)[..., None],
-                         ev / jnp.maximum(pp, 1e-20)[..., None], 0.0)
+        pp_d = jax.lax.stop_gradient(pp)  # detached-sampling estimator
+        safe = jnp.where((pp_d > 0.0)[..., None],
+                         ev / jnp.maximum(pp_d, 1e-20)[..., None], 0.0)
         out = jnp.where(m[..., None], safe, out)
     return out

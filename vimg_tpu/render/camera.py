@@ -77,8 +77,9 @@ def generate_rays(cam: Camera, px, py, lens_r1, lens_r2):
     world_d = normalize(ray_dir @ rot.T)
 
     spread = primary_cone_spread(theta, float(cam.height))
-    cone_width = jnp.zeros(world_d.shape[:-1], world_d.dtype)
-    cone_spread = jnp.broadcast_to(spread, world_d.shape[:-1])
+    # derive from px so the values inherit shard_map varying axes
+    cone_width = x_dir * 0.0
+    cone_spread = spread + cone_width
     return world_o, world_d, cone_width, cone_spread
 
 

@@ -42,6 +42,13 @@ SHADOW_EPS = 1e-4            # reference mis_integrator.cpp:62
 ROULETTE_THRESHOLD = 5       # reference mis_integrator.cpp:31
 ROULETTE_CLAMP = 0.95
 
+# Detached-sampling gradient estimator: sampled directions, pdfs used as
+# divisors/MIS weights, and RR decisions are stop_gradient'ed. E_p[f/p⊥] =
+# ∫f for any fixed p, so ∇E = ∫∇f stays unbiased while autodiff never
+# differentiates through the sampling warp or discrete choices. No-op for
+# forward-only rendering.
+_dt = jax.lax.stop_gradient
+
 
 def _primary_rays(scene: ir.Scene, settings, pix, samp):
     """Pixel/sample ids -> camera rays, following the reference's pixel
@@ -90,7 +97,7 @@ def _geometric_term(look_from, point, normal):
 def _roulette(throughput, eta_scale, rand):
     """Russian roulette continue/weight (reference mis_integrator.cpp:
     153-167). Returns (survive_mask, new_throughput)."""
-    rr = throughput / eta_scale[..., None]
+    rr = _dt(throughput / eta_scale[..., None])
     max_val = jnp.minimum(jnp.max(rr, axis=-1), ROULETTE_CLAMP)
     survive = rand <= max_val
     new_tp = throughput / jnp.maximum(max_val, 1e-20)[..., None]
@@ -102,15 +109,19 @@ def material_integrator_loop(scene, settings, tracer, pix, samp,
     """Forward path tracing without NEE (reference mat_integrator.cpp)."""
     ro, rd, cone_w, cone_s = _primary_rays(scene, settings, pix, samp)
     B = ro.shape[0]
+    # constants derived from ray data so shard_map varying axes match the
+    # loop body's outputs
+    zero = rd[..., 0] * 0.0
+    zero3 = rd * 0.0
 
     state = dict(
         d=jnp.int32(0),
         ro=ro, rd=rd, cone_w=cone_w, cone_s=cone_s,
-        throughput=jnp.ones((B, 3)),
-        result=jnp.zeros((B, 3)),
-        active=jnp.ones((B,), bool),
-        non_spec=jnp.zeros((B,), bool),
-        eta_scale=jnp.ones((B,)),
+        throughput=1.0 + zero3,
+        result=zero3,
+        active=zero < 1.0,
+        non_spec=zero > 1.0,
+        eta_scale=1.0 + zero,
     )
 
     def body(s):
@@ -160,7 +171,7 @@ def material_integrator_loop(scene, settings, tracer, pix, samp,
                               s["eta_scale"])
 
         ratio = bsdf.eval_div_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                  non_spec)
+                                  non_spec, cone_width=cone_w)
         throughput = jnp.where(cont[..., None],
                                s["throughput"] * (emitted_col + ratio),
                                s["throughput"])
@@ -179,14 +190,20 @@ def material_integrator_loop(scene, settings, tracer, pix, samp,
                     throughput=throughput, result=result, active=cont,
                     non_spec=non_spec, eta_scale=eta_scale)
 
-    max_depth = settings.max_depth if bounded_depth is None else bounded_depth
-    if bounded_depth is None:
-        state = jax.lax.while_loop(
-            lambda s: (s["d"] < max_depth) & jnp.any(s["active"]), body, state)
-    else:
-        for _ in range(bounded_depth):
-            state = body(state)
+    state = _run_bounce_loop(body, state, settings, bounded_depth)
     return state["result"]
+
+
+def _run_bounce_loop(body, state, settings, bounded_depth):
+    """while_loop for pure rendering; lax.scan (reverse-mode differentiable)
+    when a static bounce count is requested."""
+    if bounded_depth is None:
+        return jax.lax.while_loop(
+            lambda s: (s["d"] < settings.max_depth) & jnp.any(s["active"]),
+            body, state)
+    out, _ = jax.lax.scan(lambda s, _: (body(s), None), state, None,
+                          length=bounded_depth)
+    return out
 
 
 def mis_integrator_loop(scene, settings, tracer, pix, samp,
@@ -194,15 +211,17 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
     """MIS path tracer (reference mis_integrator.cpp), wavefront form."""
     ro, rd, cone_w, cone_s = _primary_rays(scene, settings, pix, samp)
     B = ro.shape[0]
-    minT = jnp.full((B,), MIN_T)
-    infT = jnp.full((B,), jnp.inf)
+    minT = MIN_T + rd[..., 0] * 0.0
+    infT = jnp.inf + rd[..., 0] * 0.0
 
     hr = tracer.closest(scene, ro, rd, minT, infT)
     hi = intersect.hit_info(scene, ro, rd, hr)
+    zero = rd[..., 0] * 0.0
+    zero3 = rd * 0.0
 
     # primary miss -> background directly (mis_integrator.cpp:36-38)
     bg = emitters.background_emit(scene, rd, cone_s)
-    result = jnp.where((~hr.hit)[..., None], bg, jnp.zeros((B, 3)))
+    result = jnp.where((~hr.hit)[..., None], bg, zero3)
 
     # first hit emissive -> return emission (mis_integrator.cpp:39-42)
     emissive0 = bsdf.is_emissive(scene, hi.mat_id) & hr.hit
@@ -213,8 +232,8 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
 
     state = dict(
         d=jnp.int32(0), ro=ro, rd=rd, cone_w=cone_w, cone_s=cone_s,
-        throughput=jnp.ones((B, 3)), result=result, active=active,
-        non_spec=jnp.zeros((B,), bool), eta_scale=jnp.ones((B,)),
+        throughput=1.0 + zero3, result=result, active=active,
+        non_spec=zero > 1.0, eta_scale=1.0 + zero,
         hit=hi,
     )
 
@@ -239,6 +258,9 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             pick = rng.uniform1(pix, samp, d, Draw.LIGHT_PICK)
             lr1, lr2 = rng.uniform2(pix, samp, d, Draw.LIGHT_SAMPLE)
             ls = emitters.sample_lights(scene, hi.p, pick, lr1, lr2)
+            ls = emitters.LightSample(radiance=ls.radiance, wi=_dt(ls.wi),
+                                      pdf=_dt(ls.pdf), dist=_dt(ls.dist),
+                                      G=_dt(ls.G))
             do_nee = active & ~mat_delta & (ls.pdf != 0.0)
 
             shadow_max = jnp.where(jnp.isfinite(ls.dist),
@@ -246,9 +268,9 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             occl = tracer.occluded(scene, hi.p, ls.wi, minT, shadow_max)
 
             f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
-                                    s["non_spec"])
+                                    s["non_spec"], cone_width=nee_cone_w)
             ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
-            w = _balance(ls.pdf, mpdf * ls.G)
+            w = _balance(ls.pdf, _dt(mpdf) * ls.G)
             contrib = (tp * f * ls.radiance
                        * (w * ls.G / jnp.maximum(ls.pdf, 1e-20))[..., None])
             contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
@@ -263,6 +285,8 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         }
         sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
                              s["non_spec"])
+        sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),
+                                is_specular=sc.is_specular, valid=sc.valid)
         cont = active & sc.valid          # absorbed paths just stop
         non_spec = s["non_spec"] | (cont & ~sc.is_specular)
 
@@ -275,14 +299,14 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
                               s["eta_scale"])
 
         f2, pdf2 = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                 non_spec)
+                                 non_spec, cone_width=cone_w)
         # NaN pdf suppression (mis_integrator.cpp:108-114)
         cont = cont & ~jnp.isnan(pdf2)
 
         ratio_delta = bsdf.eval_div_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                        non_spec)
+                                        non_spec, cone_width=cone_w)
         ratio = jnp.where(mat_delta[..., None], ratio_delta,
-                          f2 / jnp.maximum(pdf2, 1e-20)[..., None])
+                          f2 / jnp.maximum(_dt(pdf2), 1e-20)[..., None])
         ratio = jnp.where(jnp.isnan(ratio) | jnp.isinf(ratio), 0.0, ratio)
         tp = jnp.where(cont[..., None], tp * ratio, tp)
 
@@ -301,16 +325,16 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         light_pdf = emitters.surf_pdf(scene, hr2.prim_type, hr2.prim_id,
                                       nro, hi2.p, nrd) / max(n_lights, 1)
         G2 = _geometric_term(nro, hi2.p, hi2.n_g)
-        w_hit = jnp.where(mat_delta | (pdf2 == 0.0), 1.0,
-                          _balance(pdf2 * G2, light_pdf))
+        w_hit = _dt(jnp.where(mat_delta | (pdf2 == 0.0), 1.0,
+                              _balance(pdf2 * G2, light_pdf)))
         result = result + jnp.where(hit_emissive[..., None],
                                     tp * w_hit[..., None] * em, 0.0)
 
         # miss -> env compensation (mis_integrator.cpp:173-186)
         if scene.bg_is_emissive:
             bgp = emitters.background_pdf(scene, nrd) / max(n_lights, 1)
-            w_bg = jnp.where(mat_delta | (pdf2 == 0.0), 1.0,
-                             _balance(pdf2, bgp))
+            w_bg = _dt(jnp.where(mat_delta | (pdf2 == 0.0), 1.0,
+                                 _balance(pdf2, bgp)))
             bg2 = emitters.background_emit(scene, nrd, cone_s)
             result = result + jnp.where(missed[..., None],
                                         tp * w_bg[..., None] * bg2, 0.0)
@@ -339,13 +363,7 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             throughput=tp, result=result, active=carry_on,
             non_spec=non_spec, eta_scale=eta_scale, hit=new_hit)
 
-    max_depth = settings.max_depth if bounded_depth is None else bounded_depth
-    if bounded_depth is None:
-        state = jax.lax.while_loop(
-            lambda s: (s["d"] < max_depth) & jnp.any(s["active"]), body, state)
-    else:
-        for _ in range(bounded_depth):
-            state = body(state)
+    state = _run_bounce_loop(body, state, settings, bounded_depth)
     return state["result"]
 
 

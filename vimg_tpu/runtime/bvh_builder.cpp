@@ -1,0 +1,253 @@
+// Native binned-SAH BVH builder for vimg_tpu.
+//
+// Re-implementation of the build algorithm surveyed from the reference
+// (src/bvh/bin_bvh.cpp: 16 centroid bins over 3 axes, prefix/suffix cost
+// sweeps, SAH vs leaf-cost termination, median fallback), emitting the
+// TPU-side layout used by vimg_tpu/geometry/bvh.py: DFS preorder nodes
+// (left child = parent+1) with skip links for threaded traversal.
+//
+// Exposed via a C ABI for ctypes; no Python headers needed.
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int kBins = 16;
+constexpr int kLeafSize = 8;
+constexpr float kCostIntersect = 1.0f;
+constexpr float kCostTraverse = 0.5f;
+
+struct V3 {
+  float x, y, z;
+};
+
+inline V3 vmin(const V3& a, const V3& b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+inline V3 vmax(const V3& a, const V3& b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+inline float half_sa(const V3& lo, const V3& hi) {
+  float dx = std::max(hi.x - lo.x, 0.f);
+  float dy = std::max(hi.y - lo.y, 0.f);
+  float dz = std::max(hi.z - lo.z, 0.f);
+  return dx * dy + dx * dz + dy * dz;
+}
+
+struct Builder {
+  const V3* bmin;
+  const V3* bmax;
+  const V3* cen;
+  int32_t* order;
+
+  std::vector<V3> node_min, node_max;
+  std::vector<int32_t> node_start, node_count, node_right;
+
+  int new_node() {
+    node_min.push_back({0, 0, 0});
+    node_max.push_back({0, 0, 0});
+    node_start.push_back(0);
+    node_count.push_back(0);
+    node_right.push_back(-1);
+    return static_cast<int>(node_min.size()) - 1;
+  }
+
+  // returns index of the created subtree root (== next free node slot)
+  void build_range(int s, int e, int parent, bool is_right) {
+    struct Frame {
+      int s, e, parent;
+      bool is_right;
+    };
+    std::vector<Frame> stack;
+    stack.push_back({s, e, parent, is_right});
+
+    while (!stack.empty()) {
+      Frame f = stack.back();
+      stack.pop_back();
+      int idx = new_node();
+      if (f.parent >= 0 && f.is_right) node_right[f.parent] = idx;
+
+      int n = f.e - f.s;
+      V3 lo = bmin[order[f.s]], hi = bmax[order[f.s]];
+      V3 clo = cen[order[f.s]], chi = clo;
+      for (int i = f.s + 1; i < f.e; i++) {
+        lo = vmin(lo, bmin[order[i]]);
+        hi = vmax(hi, bmax[order[i]]);
+        clo = vmin(clo, cen[order[i]]);
+        chi = vmax(chi, cen[order[i]]);
+      }
+      node_min[idx] = lo;
+      node_max[idx] = hi;
+
+      bool do_leaf = n <= 1;
+      int best_axis = -1, best_bin = -1;
+      float best_cost = std::numeric_limits<float>::infinity();
+      float best_c0 = 0, best_scale = 0;
+
+      if (!do_leaf) {
+        float cext[3] = {chi.x - clo.x, chi.y - clo.y, chi.z - clo.z};
+        const float* clo_p = &clo.x;
+        for (int axis = 0; axis < 3; axis++) {
+          if (cext[axis] <= 0.f) continue;
+          float scale = kBins * (1.0f - 1e-6f) / cext[axis];
+          int counts[kBins] = {0};
+          V3 blo[kBins], bhi[kBins];
+          for (int b = 0; b < kBins; b++) {
+            blo[b] = {std::numeric_limits<float>::max(),
+                      std::numeric_limits<float>::max(),
+                      std::numeric_limits<float>::max()};
+            bhi[b] = {-std::numeric_limits<float>::max(),
+                      -std::numeric_limits<float>::max(),
+                      -std::numeric_limits<float>::max()};
+          }
+          for (int i = f.s; i < f.e; i++) {
+            int p = order[i];
+            float c = (&cen[p].x)[axis];
+            int b = std::min((int)((c - clo_p[axis]) * scale), kBins - 1);
+            counts[b]++;
+            blo[b] = vmin(blo[b], bmin[p]);
+            bhi[b] = vmax(bhi[b], bmax[p]);
+          }
+          // suffix sweep
+          float rcost[kBins];
+          V3 rlo = blo[kBins - 1], rhi = bhi[kBins - 1];
+          int rcount = 0;
+          for (int b = kBins - 1; b >= 1; b--) {
+            rlo = vmin(rlo, blo[b]);
+            rhi = vmax(rhi, bhi[b]);
+            rcount += counts[b];
+            rcost[b] = rcount > 0 ? half_sa(rlo, rhi) * rcount
+                                  : std::numeric_limits<float>::infinity();
+          }
+          // prefix sweep + combine
+          V3 llo = blo[0], lhi = bhi[0];
+          int lcount = 0;
+          for (int b = 0; b < kBins - 1; b++) {
+            llo = vmin(llo, blo[b]);
+            lhi = vmax(lhi, bhi[b]);
+            lcount += counts[b];
+            if (lcount == 0 || lcount == n) continue;
+            float c = half_sa(llo, lhi) * lcount + rcost[b + 1];
+            if (c < best_cost) {
+              best_cost = c;
+              best_axis = axis;
+              best_bin = b;
+              best_c0 = clo_p[axis];
+              best_scale = scale;
+            }
+          }
+        }
+
+        float sa_node = std::max(half_sa(lo, hi), 1e-12f);
+        if (best_axis >= 0) {
+          float split_cost = kCostTraverse + kCostIntersect * best_cost / sa_node;
+          if (split_cost >= kCostIntersect * n && n <= kLeafSize) do_leaf = true;
+        } else {
+          if (n <= kLeafSize)
+            do_leaf = true;
+          // else: median fallback below
+        }
+      }
+
+      if (do_leaf) {
+        node_start[idx] = f.s;
+        node_count[idx] = n;
+        continue;
+      }
+
+      int mid;
+      if (best_axis < 0) {
+        // median split on the largest extent axis
+        V3 ext = {hi.x - lo.x, hi.y - lo.y, hi.z - lo.z};
+        int axis = 0;
+        if (ext.y > (&ext.x)[axis]) axis = 1;
+        if (ext.z > (&ext.x)[axis]) axis = 2;
+        std::nth_element(order + f.s, order + f.s + n / 2, order + f.e,
+                         [&](int a, int b) {
+                           return (&cen[a].x)[axis] < (&cen[b].x)[axis];
+                         });
+        mid = n / 2;
+      } else {
+        int32_t* first = order + f.s;
+        int32_t* last = order + f.e;
+        int32_t* pivot = std::partition(first, last, [&](int p) {
+          int b = std::min(
+              (int)(((&cen[p].x)[best_axis] - best_c0) * best_scale),
+              kBins - 1);
+          return b <= best_bin;
+        });
+        mid = static_cast<int>(pivot - first);
+        if (mid == 0 || mid == n) {
+          std::nth_element(order + f.s, order + f.s + n / 2, order + f.e,
+                           [&](int a, int b) {
+                             return (&cen[a].x)[best_axis] <
+                                    (&cen[b].x)[best_axis];
+                           });
+          mid = n / 2;
+        }
+      }
+
+      // DFS preorder: left child processed next (LIFO), right after
+      stack.push_back({f.s + mid, f.e, idx, true});
+      stack.push_back({f.s, f.s + mid, idx, false});
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Builds the BVH. Caller allocates outputs for up to 2*n-1 nodes.
+// Returns the number of nodes, or -1 on error.
+int32_t vimg_build_bvh(int32_t n_prims, const float* bmin_in,
+                       const float* bmax_in, const float* centers_in,
+                       float* out_node_min, float* out_node_max,
+                       int32_t* out_start, int32_t* out_count,
+                       int32_t* out_skip, int32_t* out_order) {
+  if (n_prims <= 0) return -1;
+  Builder b;
+  b.bmin = reinterpret_cast<const V3*>(bmin_in);
+  b.bmax = reinterpret_cast<const V3*>(bmax_in);
+  b.cen = reinterpret_cast<const V3*>(centers_in);
+  for (int i = 0; i < n_prims; i++) out_order[i] = i;
+  b.order = out_order;
+
+  size_t cap = 2 * static_cast<size_t>(n_prims);
+  b.node_min.reserve(cap);
+  b.node_max.reserve(cap);
+  b.node_start.reserve(cap);
+  b.node_count.reserve(cap);
+  b.node_right.reserve(cap);
+
+  b.build_range(0, n_prims, -1, false);
+
+  int32_t n_nodes = static_cast<int32_t>(b.node_min.size());
+  std::memcpy(out_node_min, b.node_min.data(), n_nodes * sizeof(V3));
+  std::memcpy(out_node_max, b.node_max.data(), n_nodes * sizeof(V3));
+  std::memcpy(out_start, b.node_start.data(), n_nodes * sizeof(int32_t));
+  std::memcpy(out_count, b.node_count.data(), n_nodes * sizeof(int32_t));
+
+  // skip links
+  std::vector<std::pair<int32_t, int32_t>> st;
+  st.push_back({0, n_nodes});
+  while (!st.empty()) {
+    auto [i, skip] = st.back();
+    st.pop_back();
+    out_skip[i] = skip;
+    if (b.node_count[i] == 0) {
+      int32_t r = b.node_right[i];
+      st.push_back({i + 1, r});
+      st.push_back({r, skip});
+    }
+  }
+  return n_nodes;
+}
+}

@@ -96,6 +96,7 @@ class Scene:
     tex_type: jax.Array     # (NT,) i32
     tex_cols: jax.Array     # (NT, 2, 3) f32
     tex_wh: jax.Array       # (NT, 2) f32
+    tex_atlas: jax.Array    # (NT,) i32 atlas entry for TEX_IMAGE (-1 none)
 
     # ---- lights ----
     light_type: jax.Array   # (L,) i32
@@ -104,9 +105,9 @@ class Scene:
     # ---- background ----
     bg_color: jax.Array     # (3,) f32 (const background)
 
-    # ---- image texture atlas (per-mip stack of atlas pages) ----
-    atlas: Tuple[jax.Array, ...]       # tuple of (H_l, W_l, 3) arrays (mip chain)
-    atlas_meta: jax.Array              # (NT, 4) f32: x0, y0, w, h in mip-0 texels
+    # ---- image texture atlas: flat rows + per-texture-per-level offsets ----
+    atlas: jax.Array                   # (N, 3) f32: all mips of all textures
+    atlas_meta: jax.Array              # (NT, L, 3) i32: offset, w, h
 
     # ---- env map ----
     env_mips: Tuple[jax.Array, ...]    # tuple of (H_l, W_l, 3) radiance maps
@@ -172,8 +173,8 @@ def _empty_env():
 
 
 def _empty_atlas():
-    return dict(atlas=(jnp.zeros((1, 1, 3), jnp.float32),),
-                atlas_meta=jnp.zeros((1, 4), jnp.float32))
+    return dict(atlas=jnp.zeros((1, 3), jnp.float32),
+                atlas_meta=jnp.zeros((1, 1, 3), jnp.int32))
 
 
 def build_scene(
@@ -182,7 +183,7 @@ def build_scene(
     vnormals=None, vuv=None, vuv_nmap=None, vuv_mr=None,
     sph_center=None, sph_radius=None, sph_mat=None,
     mat_type, mat_base, mat_scalars, mat_tex=None,
-    tex_type=None, tex_cols=None, tex_wh=None,
+    tex_type=None, tex_cols=None, tex_wh=None, tex_atlas=None,
     light_type=None, light_idx=None,
     bg_color=(0.0, 0.0, 0.0), camera=None,
     env=None, atlas=None, bg_light=False,
@@ -223,11 +224,16 @@ def build_scene(
         tex_type = jnp.zeros((1,), jnp.int32)
         tex_cols = jnp.zeros((1, 2, 3), jnp.float32)
         tex_wh = jnp.ones((1, 2), jnp.float32)
+        tex_atlas = -jnp.ones((1,), jnp.int32)
     else:
         tex_type = jnp.asarray(tex_type, jnp.int32).reshape(-1)
         ntex = tex_type.shape[0]
         tex_cols = jnp.asarray(tex_cols, jnp.float32).reshape(ntex, 2, 3)
         tex_wh = jnp.asarray(tex_wh, jnp.float32).reshape(ntex, 2)
+        if tex_atlas is None:
+            tex_atlas = -jnp.ones((ntex,), jnp.int32)
+        else:
+            tex_atlas = jnp.asarray(tex_atlas, jnp.int32).reshape(ntex)
 
     nl = 0 if light_type is None else np.asarray(light_type).reshape(-1).shape[0]
     light_type = _opt(light_type, (nl,), jnp.int32)
@@ -248,7 +254,8 @@ def build_scene(
         tri_flags=tri_flags, sph_center=sph_center, sph_radius=sph_radius,
         sph_mat=sph_mat, mat_type=mat_type, mat_base=mat_base,
         mat_scalars=mat_scalars, mat_tex=mat_tex, tex_type=tex_type,
-        tex_cols=tex_cols, tex_wh=tex_wh, light_type=light_type,
+        tex_cols=tex_cols, tex_wh=tex_wh, tex_atlas=tex_atlas,
+        light_type=light_type,
         light_idx=light_idx, bg_color=bg_color,
         camera=camera,
         has_lambertian=bool(np.any(mt_host == MAT_LAMBERTIAN)),

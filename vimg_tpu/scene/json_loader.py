@@ -70,6 +70,8 @@ class SceneBuilder:
         self.verts = []
         self.vnormals = []
         self.vuv = []
+        self.vuv_nmap = []
+        self.vuv_mr = []
         self.tri_vidx = []
         self.tri_mat = []
         self.tri_flags = []
@@ -83,6 +85,7 @@ class SceneBuilder:
         self.tex_type = []
         self.tex_cols = []
         self.tex_wh = []
+        self.tex_atlas = []
         self.light_type = []
         self.light_idx = []
         self._nv = 0
@@ -100,32 +103,45 @@ class SceneBuilder:
         self.mat_tex.append(np.asarray(tex, np.int32))
         return len(self.mat_type) - 1
 
-    def add_texture(self, ttype, col_a=(0, 0, 0), col_b=(0, 0, 0), wh=(1, 1)):
+    def add_texture(self, ttype, col_a=(0, 0, 0), col_b=(0, 0, 0), wh=(1, 1),
+                    atlas_id=-1):
         self.tex_type.append(ttype)
         self.tex_cols.append(np.stack([np.asarray(col_a, np.float32),
                                        np.asarray(col_b, np.float32)]))
         self.tex_wh.append(np.asarray(wh, np.float32))
+        self.tex_atlas.append(atlas_id)
         return len(self.tex_type) - 1
 
     def _mat_is_emissive(self, mat_id):
         return self.mat_type[mat_id] == ir.MAT_DIFFUSE_LIGHT
 
     # -- geometry --------------------------------------------------------
-    def add_mesh(self, verts, tri_idx, mat_id, normals=None, uvs=None):
+    def add_mesh(self, verts, tri_idx, mat_id, normals=None, uvs=None,
+                 uvs_nmap=None, uvs_mr=None):
         verts = np.asarray(verts, np.float32).reshape(-1, 3)
         tri_idx = np.asarray(tri_idx, np.int64).reshape(-1, 3)
         n = verts.shape[0]
         base = self._nv
+
+        def _uvset(u):
+            return (np.zeros((n, 2), np.float32) if u is None
+                    else np.asarray(u, np.float32).reshape(-1, 2))
+
         self.verts.append(verts)
         self.vnormals.append(np.zeros((n, 3), np.float32) if normals is None
                              else np.asarray(normals, np.float32).reshape(-1, 3))
-        self.vuv.append(np.zeros((n, 2), np.float32) if uvs is None
-                        else np.asarray(uvs, np.float32).reshape(-1, 2))
+        self.vuv.append(_uvset(uvs))
+        self.vuv_nmap.append(_uvset(uvs_nmap))
+        self.vuv_mr.append(_uvset(uvs_mr))
         flags = 0
         if normals is not None:
             flags |= ir.TRI_HAS_NORMALS
         if uvs is not None:
             flags |= ir.TRI_HAS_UV
+        if uvs_nmap is not None:
+            flags |= ir.TRI_HAS_UV_NORMALMAP
+        if uvs_mr is not None:
+            flags |= ir.TRI_HAS_UV_MR
         t0 = len(self.tri_vidx)
         self.tri_vidx.extend(list((tri_idx + base).astype(np.int32)))
         nt = tri_idx.shape[0]
@@ -155,13 +171,18 @@ class SceneBuilder:
         self.light_idx.append(0)
 
     # -- emit ------------------------------------------------------------
-    def build(self, camera, bg_color=(0, 0, 0), env=None, atlas=None):
+    def build(self, camera, bg_color=(0, 0, 0), env=None, atlas=None,
+              bg_light=False):
         verts = (np.concatenate(self.verts) if self.verts
                  else np.zeros((0, 3), np.float32))
+        if bg_light:
+            self.add_background_light()
         return ir.build_scene(
             verts=verts,
             vnormals=np.concatenate(self.vnormals) if self.vnormals else None,
             vuv=np.concatenate(self.vuv) if self.vuv else None,
+            vuv_nmap=np.concatenate(self.vuv_nmap) if self.vuv_nmap else None,
+            vuv_mr=np.concatenate(self.vuv_mr) if self.vuv_mr else None,
             tri_vidx=(np.stack(self.tri_vidx) if self.tri_vidx
                       else np.zeros((0, 3), np.int32)),
             tri_mat=np.asarray(self.tri_mat, np.int32),
@@ -179,6 +200,8 @@ class SceneBuilder:
             if self.tex_type else None,
             tex_cols=np.stack(self.tex_cols) if self.tex_type else None,
             tex_wh=np.stack(self.tex_wh) if self.tex_type else None,
+            tex_atlas=np.asarray(self.tex_atlas, np.int32)
+            if self.tex_type else None,
             light_type=np.asarray(self.light_type, np.int32)
             if self.light_type else None,
             light_idx=np.asarray(self.light_idx, np.int32)

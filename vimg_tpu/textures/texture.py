@@ -1,10 +1,15 @@
-"""Texture evaluation: const colors, checkerboard, and (mip-mapped) image
+"""Texture evaluation: const colors, checkerboard, and mip-mapped image
 atlas lookups with ray-cone LOD.
 
 Reference: include/texture/texture_RGB.h (ConstColor, Checkerboard,
 ImageTexture trilinear + ray-cone LOD), include/texture/texture_RG.h,
-src/image_texture.cpp. Image textures are packed into one atlas per mip
-level so a whole wavefront's fetches become two gathers per level.
+src/image_texture.cpp. All image textures (every mip level) live in ONE
+flat (N, 3) atlas with an (NT, L, 3) offset/size table, so a wavefront's
+fetches are plain 1-D row gathers.
+
+Bilinear filtering matches the reference's convention (col_at_uv_mipmap:
+pixel = wrap(uv) * size, floor + clamp, fractional lerp — no half-texel
+offset).
 """
 from __future__ import annotations
 
@@ -24,11 +29,7 @@ def _checker_color(scene: ir.Scene, tex_id, uv):
 
 def base_color_at_hit(scene: ir.Scene, mat_id, hit, cone_width=None,
                       ray_dir=None):
-    """Base color/albedo for each ray's material at its hit point.
-
-    Plain materials use ``mat_base``; a texture id >= 0 overrides it with a
-    procedural or image lookup (ray-cone LOD for images).
-    """
+    """Base color/albedo for each ray's material at its hit point."""
     col = scene.mat_base[mat_id]
     tex_id = scene.mat_tex[mat_id, 0]
     has_tex = tex_id >= 0
@@ -50,84 +51,77 @@ def base_color_at_hit(scene: ir.Scene, mat_id, hit, cone_width=None,
 
 
 # ---------------------------------------------------------------------------
-# image atlas (filled in by the glTF loader)
+# flat atlas lookups
 # ---------------------------------------------------------------------------
 
 def _wrap_repeat(x):
+    # reference handle_wrapping Repeat: fract with negative fixup
     f = x - jnp.trunc(x)
     return jnp.where(f < 0.0, 1.0 + f, f)
 
 
 def _atlas_fetch_bilinear(scene: ir.Scene, level, tex_id, uv):
-    """Bilinear fetch from atlas mip ``level`` (static int) for (B,) tex ids."""
-    page = scene.atlas[level]
-    scale = 1.0 / (1 << level)
-    meta = scene.atlas_meta[tex_id]          # (B, 4): x0, y0, w, h at mip 0
-    x0 = jnp.floor(meta[..., 0] * scale)
-    y0 = jnp.floor(meta[..., 1] * scale)
-    w = jnp.maximum(jnp.floor(meta[..., 2] * scale), 1.0)
-    h = jnp.maximum(jnp.floor(meta[..., 3] * scale), 1.0)
+    """Bilinear fetch; ``level``/``tex_id`` are (B,) int arrays."""
+    n_levels = scene.atlas_meta.shape[1]
+    level = jnp.clip(level, 0, n_levels - 1)
+    meta = scene.atlas_meta[tex_id, level]   # (B, 3): offset, w, h
+    off = meta[..., 0]
+    w = meta[..., 1]
+    h = meta[..., 2]
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
 
-    u = _wrap_repeat(uv[..., 0]) * w
-    v = _wrap_repeat(uv[..., 1]) * h
-    iu = jnp.clip(jnp.floor(u), 0.0, w - 1.0)
-    iv = jnp.clip(jnp.floor(v), 0.0, h - 1.0)
-    fu = u - iu
-    fv = v - iv
-    iu2 = jnp.minimum(iu + 1.0, w - 1.0)
-    iv2 = jnp.minimum(iv + 1.0, h - 1.0)
+    pu = _wrap_repeat(uv[..., 0]) * wf
+    pv = _wrap_repeat(uv[..., 1]) * hf
+    x0 = jnp.clip(pu.astype(jnp.int32), 0, w - 1)
+    y0 = jnp.clip(pv.astype(jnp.int32), 0, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    fx = (pu - x0.astype(jnp.float32))[..., None]
+    fy = (pv - y0.astype(jnp.float32))[..., None]
 
-    def at(ix, iy):
-        xi = (x0 + ix).astype(jnp.int32)
-        yi = (y0 + iy).astype(jnp.int32)
-        return page[yi, xi]
+    def at(xi, yi):
+        return scene.atlas[off + yi * w + xi]
 
-    c00 = at(iu, iv)
-    c10 = at(iu2, iv)
-    c01 = at(iu, iv2)
-    c11 = at(iu2, iv2)
-    a = c00 * (1 - fu)[..., None] + c10 * fu[..., None]
-    b = c01 * (1 - fu)[..., None] + c11 * fu[..., None]
-    return a * (1 - fv)[..., None] + b * fv[..., None]
+    a = at(x0, y0) * (1 - fx) + at(x1, y0) * fx
+    b = at(x0, y1) * (1 - fx) + at(x1, y1) * fx
+    return a * (1 - fy) + b * fy
 
 
 def atlas_trilinear(scene: ir.Scene, tex_id, uv, lod):
-    """Trilinear (bilinear x 2 mips) lookup; lod is a float per ray."""
-    n_levels = len(scene.atlas)
+    """Trilinear (bilinear x 2 mip levels) lookup; lod is float per ray
+    (reference col_mipmap_interpolate)."""
+    n_levels = scene.atlas_meta.shape[1]
     lod = jnp.clip(lod, 0.0, n_levels - 1.0)
     l0 = jnp.floor(lod)
-    frac = lod - l0
-    out = jnp.zeros(uv.shape[:-1] + (3,), jnp.float32)
-    for lvl in range(n_levels):
-        w0 = jnp.where(l0 == lvl, 1.0 - frac, 0.0)
-        w0 = w0 + jnp.where((l0 == lvl - 1), frac, 0.0)
-        w0 = jnp.where((lvl == n_levels - 1) & (l0 == lvl), 1.0, w0)
-        need = w0 > 0.0
-        c = _atlas_fetch_bilinear(scene, lvl, tex_id, uv)
-        out = out + jnp.where(need[..., None], c * w0[..., None], 0.0)
-    return out
+    frac = (lod - l0)[..., None]
+    l0i = l0.astype(jnp.int32)
+    c0 = _atlas_fetch_bilinear(scene, l0i, tex_id, uv)
+    c1 = _atlas_fetch_bilinear(scene, l0i + 1, tex_id, uv)
+    return c0 * (1 - frac) + c1 * frac
 
 
 def texture_lod(scene: ir.Scene, tex_id, hit, cone_width, ray_dir):
-    """Ray-cone LOD (reference texture_RGB.h:138-149)."""
-    meta = scene.atlas_meta[tex_id]
-    w = meta[..., 2]
-    h = meta[..., 3]
+    """Ray-cone LOD (reference texture_RGB.h:138-149), minus the fixed -2
+    bias applied by the caller (col_at_ray_hit)."""
+    from vimg_tpu.core.math import dot
+    meta = scene.atlas_meta[tex_id, 0]
+    wh = (meta[..., 1] * meta[..., 2]).astype(jnp.float32)
     lam = 0.5 * jnp.log2(jnp.maximum(hit.uv_area, 1e-30)
                          / jnp.maximum(hit.prim_area, 1e-30))
-    from vimg_tpu.core.math import dot
     lam = lam + jnp.log2(jnp.maximum(jnp.abs(cone_width), 1e-30)
                          / jnp.maximum(jnp.abs(dot(ray_dir, hit.n_g)), 1e-30))
-    lam = lam + 0.5 * jnp.log2(jnp.maximum(w * h, 1.0))
+    lam = lam + 0.5 * jnp.log2(jnp.maximum(wh, 1.0))
     return jnp.where(jnp.isnan(lam), 0.0, lam)
 
 
 def image_color_at_hit(scene: ir.Scene, tex_id, hit, cone_width, ray_dir):
+    atlas_id = jnp.maximum(scene.tex_atlas[tex_id], 0)
     if cone_width is None or ray_dir is None:
         lod = jnp.zeros(hit.uv.shape[:-1])
     else:
-        lod = texture_lod(scene, tex_id, hit, cone_width, ray_dir)
-    return atlas_trilinear(scene, tex_id, hit.uv, lod)
+        lod = texture_lod(scene, atlas_id, hit, cone_width, ray_dir) - 2.0
+    return atlas_trilinear(scene, atlas_id, hit.uv, lod)
 
 
 def metal_rough_at_uv(scene: ir.Scene, tex_id, uv):
@@ -135,14 +129,16 @@ def metal_rough_at_uv(scene: ir.Scene, tex_id, uv):
     (1, 1) when untextured (reference principled.cpp:15-20)."""
     has = tex_id >= 0
     safe = jnp.maximum(tex_id, 0)
-    c = _atlas_fetch_bilinear(scene, 0, safe, uv)
+    c = _atlas_fetch_bilinear(scene, jnp.zeros_like(safe), safe, uv)
     mr = jnp.stack([c[..., 2], c[..., 1]], axis=-1)
     return jnp.where(has[..., None], mr, 1.0)
 
 
 def normal_at_uv(scene: ir.Scene, tex_id, uv):
-    """Tangent-space normal from a normal map (already decoded to [-1, 1]
-    vectors in the atlas); normalized after bilinear filtering."""
+    """Tangent-space normal from a normal map (atlas stores decoded
+    [-1,1] vectors); normalized after bilinear filtering (reference
+    get_normal)."""
     from vimg_tpu.core.math import normalize
-    c = _atlas_fetch_bilinear(scene, 0, jnp.maximum(tex_id, 0), uv)
+    safe = jnp.maximum(tex_id, 0)
+    c = _atlas_fetch_bilinear(scene, jnp.zeros_like(safe), safe, uv)
     return normalize(c)
