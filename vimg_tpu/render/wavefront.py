@@ -1,0 +1,307 @@
+"""Persistent-wavefront MIS renderer with lane refill.
+
+The masked while_loop integrator (render/integrators.py) runs until the
+LAST path of a batch dies: with mean path length ~4 and a Russian-roulette
+tail of 60+ bounces, lane utilization is a few percent. This module keeps
+every lane busy: each superstep advances every lane by one path segment and
+immediately refills terminated lanes with fresh (pixel, sample) work from a
+global counter — the TPU equivalent of persistent-threads wavefront path
+tracing (and of the reference's tile work queue, integrators.h:57-101).
+
+Per superstep (one jitted call, scene closed over):
+  1. closest-trace each lane's pending ray (camera ray for fresh lanes,
+     BSDF bounce ray for continuing lanes); resolve emissive/miss
+     termination with the MIS weight carried from the sampling step
+  2. NEE at the surviving hits (shadow trace + balance heuristic)
+  3. sample the BSDF -> next pending ray; Russian roulette
+  4. scatter-add finished paths to the film; refill lanes from the counter
+
+State lives across supersteps as a donated pytree; the host loop only
+checks a scalar "all done" flag.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vimg_tpu.core import rng
+from vimg_tpu.core.math import dot, length, normalize
+from vimg_tpu.core.raycone import (propagate_reflect, propagate_refract,
+                                   spread_angle_from_curvature)
+from vimg_tpu.core.rng import Draw
+from vimg_tpu.geometry import intersect
+from vimg_tpu.lights import emitters
+from vimg_tpu.materials import bsdf
+from vimg_tpu.render.integrators import (MIN_T, ROULETTE_CLAMP,
+                                         ROULETTE_THRESHOLD, SHADOW_EPS,
+                                         _balance, _geometric_term,
+                                         _primary_rays, _sky_gradient)
+from vimg_tpu.scene import ir
+
+_dt = jax.lax.stop_gradient
+
+
+def init_state(B):
+    # NB: every field gets its OWN buffer (donation forbids aliased args)
+    def z():
+        return jnp.zeros((B,), jnp.float32)
+
+    def z3():
+        return jnp.zeros((B, 3), jnp.float32)
+
+    def zi():
+        return jnp.zeros((B,), jnp.int32)
+
+    def zb():
+        return jnp.zeros((B,), bool)
+
+    return dict(
+        # lane bookkeeping
+        alive=zb(),                # lane holds an in-flight path
+        pix=zi(), samp=zi(), d=zi(),
+        # pending ray (to be traced next superstep)
+        ro=z3(), rd=z3(), cone_w=z(), cone_s=z(),
+        fresh=zb(),                # pending ray is a camera ray
+        throughput=z3() + 1.0, result=z3(),
+        non_spec=zb(), eta_scale=z() + 1.0,
+        prev_pdf=z(), prev_delta=zb(),
+        next_work=jnp.int32(0),
+        n_done=jnp.int32(0),
+    )
+
+
+def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
+                   total_paths: int):
+    """Returns jitted superstep(state, accum) -> (state, accum)."""
+    spp = settings.spp
+    n_lights = scene.n_lights()
+
+    def refill(s, accum, finished):
+        """Retire finished lanes (scatter-add to film) and pull new work."""
+        contrib = jnp.where(finished[:, None], s["result"], 0.0)
+        accum = accum.at[s["pix"]].add(contrib)
+        n_done = s["n_done"] + jnp.sum(finished, dtype=jnp.int32)
+
+        free = finished | ~s["alive"]
+        slot = jnp.cumsum(free.astype(jnp.int32)) - 1
+        new_k = s["next_work"] + slot
+        take = free & (new_k < total_paths)
+        next_work = s["next_work"] + jnp.sum(take, dtype=jnp.int32)
+
+        new_pix = jnp.where(take, (new_k // spp).astype(jnp.int32), s["pix"])
+        new_samp = jnp.where(take, (new_k % spp).astype(jnp.int32), s["samp"])
+        ro, rd, cw, cs = _primary_rays(scene, settings, new_pix, new_samp)
+
+        m = take[:, None]
+        z = jnp.zeros_like(s["cone_w"])
+        s = dict(
+            s,
+            alive=(s["alive"] & ~finished) | take,
+            pix=new_pix, samp=new_samp,
+            d=jnp.where(take, 0, s["d"]),
+            ro=jnp.where(m, ro, s["ro"]),
+            rd=jnp.where(m, rd, s["rd"]),
+            cone_w=jnp.where(take, cw, s["cone_w"]),
+            cone_s=jnp.where(take, cs, s["cone_s"]),
+            fresh=jnp.where(take, True, s["fresh"]),
+            throughput=jnp.where(m, 1.0, s["throughput"]),
+            result=jnp.where(m, 0.0, s["result"]),
+            non_spec=jnp.where(take, False, s["non_spec"]),
+            eta_scale=jnp.where(take, 1.0, s["eta_scale"]),
+            prev_pdf=jnp.where(take, 0.0, s["prev_pdf"]),
+            prev_delta=jnp.where(take, False, s["prev_delta"]),
+            next_work=next_work, n_done=n_done,
+        )
+        return s, accum
+
+    def superstep(s, accum):
+        B = s["ro"].shape[0]
+        alive = s["alive"]
+        minT = MIN_T + s["cone_w"] * 0.0
+        infT = jnp.inf + s["cone_w"] * 0.0
+
+        # ---- 1. trace pending rays ------------------------------------
+        hr = tracer.closest(scene, s["ro"], s["rd"], minT, infT)
+        hi = intersect.hit_info(scene, s["ro"], s["rd"], hr)
+        found = alive & hr.hit
+        missed = alive & ~hr.hit
+
+        emissive = found & bsdf.is_emissive(scene, hi.mat_id)
+        em = bsdf.emitted(scene, hi.mat_id, s["rd"], hi.n_s)
+
+        # MIS weight for hitting a light via BSDF sampling; fresh camera
+        # rays and delta-previous-bounce use weight 1
+        light_pdf = emitters.surf_pdf(scene, hr.prim_type, hr.prim_id,
+                                      s["ro"], hi.p, s["rd"]) / max(n_lights, 1)
+        G2 = _geometric_term(s["ro"], hi.p, hi.n_g)
+        w_hit = jnp.where(s["fresh"] | s["prev_delta"] | (s["prev_pdf"] == 0.0),
+                          1.0, _balance(_dt(s["prev_pdf"]) * G2, light_pdf))
+        result = s["result"] + jnp.where(
+            emissive[:, None], s["throughput"] * _dt(w_hit)[:, None] * em, 0.0)
+
+        # background on miss: direct for fresh rays (mis_integrator.cpp:36-38),
+        # MIS-weighted compensation otherwise (mis_integrator.cpp:173-186)
+        bg = emitters.background_emit(scene, s["rd"], s["cone_s"])
+        bgp = emitters.background_pdf(scene, s["rd"]) / max(n_lights, 1)
+        w_bg = jnp.where(s["fresh"] | s["prev_delta"] | (s["prev_pdf"] == 0.0),
+                         1.0, _balance(_dt(s["prev_pdf"]), bgp))
+        add_bg = missed & (s["fresh"] | scene.bg_is_emissive)
+        result = result + jnp.where(
+            add_bg[:, None], s["throughput"] * _dt(w_bg)[:, None] * bg, 0.0)
+
+        terminated = missed | emissive
+        cont = found & ~emissive
+
+        # russian roulette on continuing paths (depth from path state)
+        rr_rand = rng.uniform1(s["pix"], s["samp"], s["d"], Draw.ROULETTE)
+        rr = _dt(s["throughput"] / s["eta_scale"][:, None])
+        max_val = jnp.minimum(jnp.max(rr, axis=-1), ROULETTE_CLAMP)
+        survive = rr_rand <= max_val
+        do_rr = cont & (s["d"] > ROULETTE_THRESHOLD) & ~s["fresh"]
+        throughput = jnp.where(
+            (do_rr & survive)[:, None],
+            s["throughput"] / jnp.maximum(max_val, 1e-20)[:, None],
+            s["throughput"])
+        rr_kill = do_rr & ~survive
+        terminated = terminated | rr_kill
+        cont = cont & ~rr_kill
+
+        # ---- 2. NEE ----------------------------------------------------
+        hit_dist = length(s["ro"] - hi.p)
+        ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
+                                          s["rd"], hi.n_s)
+        nee_cone_w, nee_cone_s = propagate_reflect(
+            s["cone_w"], s["cone_s"], ssa * 2.0, hit_dist)
+
+        mat_delta = bsdf.is_delta(scene, hi.mat_id)
+        if n_lights > 0:
+            pick = rng.uniform1(s["pix"], s["samp"], s["d"], Draw.LIGHT_PICK)
+            lr1, lr2 = rng.uniform2(s["pix"], s["samp"], s["d"],
+                                    Draw.LIGHT_SAMPLE)
+            ls = emitters.sample_lights(scene, hi.p, pick, lr1, lr2)
+            ls = emitters.LightSample(radiance=ls.radiance, wi=_dt(ls.wi),
+                                      pdf=_dt(ls.pdf), dist=_dt(ls.dist),
+                                      G=_dt(ls.G))
+            do_nee = cont & ~mat_delta & (ls.pdf != 0.0)
+            shadow_max = jnp.where(jnp.isfinite(ls.dist),
+                                   ls.dist - SHADOW_EPS, infT)
+            occl = tracer.occluded(scene, hi.p, ls.wi, minT, shadow_max)
+            f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
+                                    s["non_spec"], cone_width=nee_cone_w)
+            ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
+            w = _balance(ls.pdf, _dt(mpdf) * ls.G)
+            contrib = (throughput * f * ls.radiance
+                       * (w * ls.G / jnp.maximum(ls.pdf, 1e-20))[:, None])
+            contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
+            result = result + jnp.where(ok[:, None], contrib, 0.0)
+
+        # ---- 3. BSDF sampling -----------------------------------------
+        rands = {
+            "lobe": rng.uniform1(s["pix"], s["samp"], s["d"], Draw.BSDF_LOBE),
+            "u": rng.uniform1(s["pix"], s["samp"], s["d"], Draw.BSDF_SAMPLE),
+            "v": rng.uniform1(s["pix"], s["samp"], s["d"],
+                              Draw.BSDF_SAMPLE + 8),
+            "fresnel": rng.uniform1(s["pix"], s["samp"], s["d"],
+                                    Draw.BSDF_FRESNEL),
+        }
+        sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
+                             s["non_spec"])
+        sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),
+                                is_specular=sc.is_specular, valid=sc.valid)
+        absorbed = cont & ~sc.valid
+        terminated = terminated | absorbed
+        cont = cont & sc.valid
+        non_spec = s["non_spec"] | (cont & ~sc.is_specular)
+
+        refr = sc.eta != 0.0
+        w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"], s["rd"],
+                                           ssa, sc.eta, sc.wo)
+        cone_w = jnp.where(refr, w_refr, nee_cone_w)
+        cone_s = jnp.where(refr, s_refr, nee_cone_s)
+        eta_scale = jnp.where(refr, s["eta_scale"] / (sc.eta * sc.eta),
+                              s["eta_scale"])
+
+        f2, pdf2 = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
+                                 non_spec, cone_width=cone_w)
+        nan_pdf = jnp.isnan(pdf2)
+        terminated = terminated | (cont & nan_pdf)
+        cont = cont & ~nan_pdf
+
+        ratio_delta = bsdf.eval_div_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
+                                        non_spec, cone_width=cone_w)
+        ratio = jnp.where(mat_delta[:, None], ratio_delta,
+                          f2 / jnp.maximum(_dt(pdf2), 1e-20)[:, None])
+        ratio = jnp.where(jnp.isnan(ratio) | jnp.isinf(ratio), 0.0, ratio)
+        throughput = jnp.where(cont[:, None], throughput * ratio, throughput)
+
+        m = cont[:, None]
+        s = dict(
+            s,
+            ro=jnp.where(m, hi.p, s["ro"]),
+            rd=jnp.where(m, sc.wo, s["rd"]),
+            cone_w=jnp.where(cont, cone_w, s["cone_w"]),
+            cone_s=jnp.where(cont, cone_s, s["cone_s"]),
+            fresh=jnp.where(alive, False, s["fresh"]),
+            throughput=throughput, result=result,
+            non_spec=non_spec, eta_scale=eta_scale,
+            prev_pdf=jnp.where(cont, pdf2, s["prev_pdf"]),
+            prev_delta=jnp.where(cont, mat_delta, s["prev_delta"]),
+            d=jnp.where(cont, s["d"] + 1, s["d"]),
+        )
+        return refill(s, accum, terminated)
+
+    return superstep
+
+
+def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None):
+    """Jitted run-to-completion: the whole frame in ONE device call —
+    supersteps loop on-device (no host syncs, no per-call arg overhead)."""
+    superstep = make_superstep(scene, settings, tracer, total_paths)
+    if max_supersteps is None:
+        # safety valve far above any real superstep count
+        max_supersteps = 70 * (total_paths // B + 1) + 8192
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def run(state, accum):
+        def cond(c):
+            s, _, it = c
+            return (s["n_done"] < total_paths) & (it < max_supersteps)
+
+        def body(c):
+            s, a, it = c
+            s, a = superstep(s, a)
+            return s, a, it + 1
+
+        s, a, it = jax.lax.while_loop(cond, body,
+                                      (state, accum, jnp.int32(0)))
+        return s, a, it
+
+    return run
+
+
+def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
+                     tracer=None, progress=False, chunk_supersteps=None):
+    """Full-frame MIS render with the refill wavefront."""
+    import time
+    from vimg_tpu.geometry.trace import make_tracer
+    tracer = tracer or make_tracer(scene)
+    W, H, spp = settings.width, settings.height, settings.spp
+    total = W * H * spp
+    B = min(settings.batch_size, max(total // 2, 1024))
+
+    state = init_state(B)
+    accum = jnp.zeros((W * H, 3), jnp.float32)
+    run = make_run(scene, settings, tracer, total, B)
+
+    t0 = time.time()
+    state, accum, it = run(state, accum)
+    accum.block_until_ready()
+    if progress:
+        dt = time.time() - t0
+        print(f"Render Completed: {int(it)} supersteps, "
+              f"{total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s")
+    return np.asarray(accum).reshape(H, W, 3) / spp
