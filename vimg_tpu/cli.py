@@ -66,7 +66,7 @@ def main(argv=None):
 
     from vimg_tpu.geometry.trace import make_tracer
     from vimg_tpu.render import film
-    from vimg_tpu.render.render import render
+    from vimg_tpu.render.render import render_frame
     from vimg_tpu.scene import ir
 
     t0 = time.time()
@@ -121,7 +121,7 @@ def main(argv=None):
         return 0
 
     t0 = time.time()
-    img = render(scene, settings, tracer=tracer, progress=True)
+    img = render_frame(scene, settings, tracer=tracer, progress=True)
     dt = time.time() - t0
     n_paths = settings.width * settings.height * settings.spp
     print(f"Render took {dt:.2f}s ({n_paths / dt / 1e6:.2f} Mpaths/s)")

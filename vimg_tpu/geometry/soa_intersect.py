@@ -1,0 +1,129 @@
+"""Flop-lean brute-force intersection: plane + barycentric-dual-basis
+constants, SoA component arrays, python-unrolled prim loop.
+
+Per-triangle constants (precomputed f64 -> f32):
+  n (plane normal), d0 = p0.n, m1/m2 (dual basis), c1 = p0.m1, c2 = p0.m2
+Per (ray, tri): t = (d0 - ro.n)/(rd.n); u = ro.m1 + t rd.m1 - c1;
+v likewise — ~45 flops vs ~110 for per-pair Möller–Trumbore (the cross
+products move to precompute). The prim loop is unrolled in Python over (B,)
+component arrays, so XLA fuses the whole trace into one kernel with no
+(rays x prims) intermediates. This is the fastest exact-f32 formulation on
+the v5e VPU (the MXU variant in mxu_intersect.py is limited to ~2e-3
+relative error by this platform's matmul paths).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vimg_tpu.geometry.intersect import HitResult
+from vimg_tpu.scene import ir
+
+
+def build_constants(scene: ir.Scene):
+    nt = scene.n_tris()
+    ns = scene.n_spheres()
+    tri = None
+    if nt:
+        v = np.asarray(scene.verts, np.float64)
+        tidx = np.asarray(scene.tri_vidx)
+        p0 = v[tidx[:, 0]]
+        e1 = v[tidx[:, 1]] - p0
+        e2 = v[tidx[:, 2]] - p0
+        n = np.cross(e1, e2)
+        n2 = np.maximum((n * n).sum(1, keepdims=True), 1e-300)
+        m1 = np.cross(e2, n) / n2
+        m2 = np.cross(n, e1) / n2
+        tri = np.concatenate([
+            n, (p0 * n).sum(1, keepdims=True),
+            m1, (p0 * m1).sum(1, keepdims=True),
+            m2, (p0 * m2).sum(1, keepdims=True)], axis=1).astype(np.float32)
+    sph = None
+    if ns:
+        c = np.asarray(scene.sph_center, np.float64)
+        r = np.asarray(scene.sph_radius, np.float64)
+        sph = np.concatenate([
+            c, (r * r)[:, None]], axis=1).astype(np.float32)
+    return tri, sph
+
+
+def _trace_impl(tri_c, sph_c, ro, rd, minT, maxT, any_hit):
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    best_t = maxT
+    best_id = jnp.full(rox.shape, -1, jnp.int32)
+    best_u = jnp.zeros_like(rox)
+    best_v = jnp.zeros_like(rox)
+
+    nt = 0 if tri_c is None else tri_c.shape[0]
+    if tri_c is not None:
+        for i in range(nt):
+            nx, ny, nz, d0, m1x, m1y, m1z, c1, m2x, m2y, m2z, c2 = \
+                (float(tri_c[i, k]) for k in range(12))
+            ro_n = rox * nx + roy * ny + roz * nz
+            rd_n = rdx * nx + rdy * ny + rdz * nz
+            t = (d0 - ro_n) / jnp.where(rd_n == 0.0, 1e-30, rd_n)
+            u = (rox * m1x + roy * m1y + roz * m1z - c1
+                 + t * (rdx * m1x + rdy * m1y + rdz * m1z))
+            v = (rox * m2x + roy * m2y + roz * m2z - c2
+                 + t * (rdx * m2x + rdy * m2y + rdz * m2z))
+            hit = ((rd_n != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (t >= minT) & (t < best_t))
+            best_id = jnp.where(hit, i, best_id)
+            best_u = jnp.where(hit, u, best_u)
+            best_v = jnp.where(hit, v, best_v)
+            best_t = jnp.where(hit, t, best_t)
+
+    if sph_c is not None:
+        ro_rd = rox * rdx + roy * rdy + roz * rdz
+        ro2 = rox * rox + roy * roy + roz * roz
+        rd2 = rdx * rdx + rdy * rdy + rdz * rdz
+        for j in range(sph_c.shape[0]):
+            cx, cy, cz, r2 = (float(sph_c[j, k]) for k in range(4))
+            ro_c = rox * cx + roy * cy + roz * cz
+            rd_c = rdx * cx + rdy * cy + rdz * cz
+            b_prime = rd_c - ro_rd
+            cc = ro2 - 2.0 * ro_c + (cx * cx + cy * cy + cz * cz) - r2
+            disc4 = b_prime * b_prime - rd2 * cc
+            has = disc4 >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+            sign = jnp.where(b_prime > 0.0, 1.0, -1.0)
+            q = b_prime + sign * sq
+            x0 = cc / jnp.where(q == 0.0, 1e-30, q)
+            x1 = q / rd2
+            t0 = jnp.minimum(x0, x1)
+            t1 = jnp.maximum(x0, x1)
+            t0_ok = (t0 >= minT) & (t0 < best_t)
+            t1_ok = (t1 >= minT) & (t1 < best_t)
+            t = jnp.where(t0_ok, t0, t1)
+            hit = has & (t0_ok | t1_ok)
+            best_id = jnp.where(hit, nt + j, best_id)
+            best_t = jnp.where(hit, t, best_t)
+
+    if any_hit:
+        return best_id >= 0
+    found = best_id >= 0
+    is_sph = best_id >= nt
+    return HitResult(
+        t=jnp.where(found, best_t, jnp.inf),
+        prim_type=jnp.where(is_sph, ir.PRIM_SPHERE, ir.PRIM_TRI)
+        .astype(jnp.int32),
+        prim_id=jnp.where(is_sph, best_id - nt,
+                          jnp.maximum(best_id, 0)).astype(jnp.int32),
+        u=1.0 - best_u - best_v, v=best_u)
+
+
+class SoATracer:
+    """Default small-scene tracer: exact f32, fully fused, no gathers."""
+
+    def __init__(self, scene: ir.Scene):
+        self.tri_c, self.sph_c = build_constants(scene)
+
+    def closest(self, scene, ro, rd, minT, maxT):
+        return _trace_impl(self.tri_c, self.sph_c, ro, rd, minT, maxT, False)
+
+    def occluded(self, scene, ro, rd, minT, maxT):
+        return _trace_impl(self.tri_c, self.sph_c, ro, rd, minT, maxT, True)

@@ -28,7 +28,15 @@ class BruteForceTracer:
 
 def make_tracer(scene: ir.Scene, force=None):
     n_prims = scene.n_tris() + scene.n_spheres()
-    if force == "brute" or (force is None and n_prims <= BRUTE_FORCE_MAX_PRIMS):
+    if force == "brute":
         return BruteForceTracer(scene)
+    if force == "mxu":
+        from vimg_tpu.geometry.mxu_intersect import MXUBruteForceTracer
+        return MXUBruteForceTracer(scene)
+    if force == "soa" or (force is None and n_prims <= BRUTE_FORCE_MAX_PRIMS):
+        # flop-lean fused formulation; exact f32 (the MXU variant is
+        # limited to ~2e-3 rel error by this platform's matmul paths)
+        from vimg_tpu.geometry.soa_intersect import SoATracer
+        return SoATracer(scene)
     from vimg_tpu.geometry.bvh import BVHTracer
     return BVHTracer(scene)

@@ -108,22 +108,37 @@ def _principled_eval_pdf(scene, mat_id, wi, wo, hit, regularize, base_col):
     G_in = disney.smith_g(dir_in, alphax, alphay, fu, fv, fw)
     G = G_in * disney.smith_g(wo, alphax, alphay, fu, fv, fw)
 
-    ev_glass, pdf_glass = disney.eval_pdf_rough_glass(
-        dir_in, wo, hit.n_g, base_col, p["eta"], half_vec, fu, fv, fw,
-        G, G_in, alphax, alphay)
+    # lobes whose controlling parameter is zero for EVERY material in the
+    # scene are pruned at trace time (static Scene flags)
+    zero1 = jnp.zeros_like(p["roughness"])
+    zero3 = jnp.zeros_like(base_col)
+
+    if scene.has_spec_trans:
+        ev_glass, pdf_glass = disney.eval_pdf_rough_glass(
+            dir_in, wo, hit.n_g, base_col, p["eta"], half_vec, fu, fv, fw,
+            G, G_in, alphax, alphay)
+    else:
+        ev_glass, pdf_glass = zero3, zero1
 
     above = (dot(hit.n_g, dir_in) >= 0.0) & (dot(hit.n_g, wo) >= 0.0)
     under = dot(hit.n_g, dir_in) < 0.0
 
-    ev_sheen, _ = disney.eval_pdf_sheen(dir_in, wo, base_col, p["sheen_tint"],
-                                        half_vec, fw)
+    if scene.has_sheen:
+        ev_sheen, _ = disney.eval_pdf_sheen(dir_in, wo, base_col,
+                                            p["sheen_tint"], half_vec, fw)
+    else:
+        ev_sheen = zero3
     ev_diff, pdf_diff = disney.eval_pdf_diffuse(
         dir_in, wo, base_col, p["subsurface"], p["roughness"], half_vec, fw)
 
-    alpha_g = (1.0 - p["clearcoat_gloss"]) * 0.1 + p["clearcoat_gloss"] * 0.001
-    alpha_g = disney.regularize_alpha(alpha_g, regularize)
-    ev_clear, pdf_clear = disney.eval_pdf_clearcoat(
-        dir_in, wo, alpha_g, half_vec, fu, fv, fw)
+    if scene.has_clearcoat:
+        alpha_g = ((1.0 - p["clearcoat_gloss"]) * 0.1
+                   + p["clearcoat_gloss"] * 0.001)
+        alpha_g = disney.regularize_alpha(alpha_g, regularize)
+        ev_clear, pdf_clear = disney.eval_pdf_clearcoat(
+            dir_in, wo, alpha_g, half_vec, fu, fv, fw)
+    else:
+        ev_clear, pdf_clear = zero3, zero1
 
     ev_metal, pdf_metal = disney.eval_pdf_metal(
         dir_in, wo, base_col, p["spec_tint"], p["specular"], p["eta"],
@@ -169,18 +184,27 @@ def _principled_sample(scene, mat_id, wi, hit, rands, regularize):
         fu, fv, fw, hit.n_g, r1, r2, sample_hemisphere_cosine)
     d_valid = d_valid & (dot(hit.n_g, dir_in) >= 0.0)
 
-    c_dir, c_valid = disney.sample_clearcoat(
-        dir_in, hit.n_g, p["clearcoat_gloss"], fu, fv, fw, r1, r2, regularize)
-    c_valid = c_valid & (dot(hit.n_g, dir_in) >= 0.0)
+    if scene.has_clearcoat:
+        c_dir, c_valid = disney.sample_clearcoat(
+            dir_in, hit.n_g, p["clearcoat_gloss"], fu, fv, fw, r1, r2,
+            regularize)
+        c_valid = c_valid & (dot(hit.n_g, dir_in) >= 0.0)
+    else:
+        c_dir, c_valid = d_dir, d_valid   # weight 0 -> never picked
 
     m_dir, m_valid = disney.sample_metal(
         dir_in, hit.n_g, p["roughness"], p["anisotropic"], fu, fv, fw,
         r1, r2, regularize)
     m_valid = m_valid & (dot(hit.n_g, dir_in) >= 0.0)
 
-    g_dir, g_eta, g_valid = disney.sample_rough_glass(
-        dir_in, hit.n_g, p["eta"], p["anisotropic"], p["roughness"],
-        fu, fv, fw, r1, r2, rands["fresnel"], regularize)
+    if scene.has_spec_trans:
+        g_dir, g_eta, g_valid = disney.sample_rough_glass(
+            dir_in, hit.n_g, p["eta"], p["anisotropic"], p["roughness"],
+            fu, fv, fw, r1, r2, rands["fresnel"], regularize)
+    else:
+        # glass only reachable from under the surface; without
+        # transmission those paths terminate
+        g_dir, g_eta, g_valid = m_dir, zero, m_valid & False
 
     w_diff, w_clear, w_metal, w_glass = _lobe_weights(p)
     rnd = rands["lobe"]

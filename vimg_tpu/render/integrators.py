@@ -303,9 +303,8 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         # NaN pdf suppression (mis_integrator.cpp:108-114)
         cont = cont & ~jnp.isnan(pdf2)
 
-        ratio_delta = bsdf.eval_div_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                        non_spec, cone_width=cone_w)
-        ratio = jnp.where(mat_delta[..., None], ratio_delta,
+        # delta == smooth dielectric: eval/pdf == 1 analytically
+        ratio = jnp.where(mat_delta[..., None], 1.0,
                           f2 / jnp.maximum(_dt(pdf2), 1e-20)[..., None])
         ratio = jnp.where(jnp.isnan(ratio) | jnp.isinf(ratio), 0.0, ratio)
         tp = jnp.where(cont[..., None], tp * ratio, tp)

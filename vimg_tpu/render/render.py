@@ -21,8 +21,12 @@ from vimg_tpu.scene import ir
 
 
 def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
-           progress=False, integrator=None):
-    """Render a full frame. Returns linear (H, W, 3) float32 numpy array."""
+           progress=False, integrator=None, sample_offset=0):
+    """Render a full frame. Returns linear (H, W, 3) float32 numpy array.
+
+    ``sample_offset`` shifts the per-pixel sample indices (and therefore
+    every RNG stream) — used by checkpoint slabs to continue a render.
+    """
     W, H = settings.width, settings.height
     spp = settings.spp
     tracer = tracer or make_tracer(scene)
@@ -32,12 +36,12 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
     n_chunks = (total + B - 1) // B
 
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def chunk_step(scene, accum, k0):
+    def chunk_step(scene, accum, k0, samp_off):
         k = k0 + jnp.arange(B, dtype=jnp.int32)
         valid = k < total
         ks = jnp.where(valid, k, 0)
         pix = ks // spp
-        samp = ks % spp
+        samp = ks % spp + samp_off
         col = trace_radiance(scene, settings, tracer, pix, samp,
                              integrator=integrator)
         col = jnp.where(valid[:, None], col, 0.0)
@@ -46,7 +50,8 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
     accum = jnp.zeros((W * H, 3), jnp.float32)
     t0 = time.time()
     for c in range(n_chunks):
-        accum = chunk_step(scene, accum, jnp.int32(c * B))
+        accum = chunk_step(scene, accum, jnp.int32(c * B),
+                           jnp.int32(sample_offset))
         if progress:
             accum.block_until_ready()
             done = min((c + 1) * B, total)
@@ -60,8 +65,21 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
     return img
 
 
+def render_frame(scene, settings, tracer=None, progress=False,
+                 integrator=None, use_wavefront=True):
+    """Render dispatch: the persistent wavefront for full MIS frames,
+    the chunked loop renderer otherwise."""
+    name = integrator or settings.integrator
+    if use_wavefront and name == "mis":
+        from vimg_tpu.render.wavefront import render_wavefront
+        return render_wavefront(scene, settings, tracer=tracer,
+                                progress=progress)
+    return render(scene, settings, tracer=tracer, progress=progress,
+                  integrator=integrator)
+
+
 def render_to_png(scene, settings, path, **kw):
-    img = render(scene, settings, **kw)
+    img = render_frame(scene, settings, **kw)
     out = film.finalize(jnp.asarray(img), tonemap=settings.tonemap)
     film.write_png(path, out)
     return img

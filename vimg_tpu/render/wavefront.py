@@ -71,6 +71,7 @@ def init_state(B):
         prev_pdf=z(), prev_delta=zb(),
         next_work=jnp.int32(0),
         n_done=jnp.int32(0),
+        samp_off=jnp.int32(0),
     )
 
 
@@ -93,7 +94,9 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         next_work = s["next_work"] + jnp.sum(take, dtype=jnp.int32)
 
         new_pix = jnp.where(take, (new_k // spp).astype(jnp.int32), s["pix"])
-        new_samp = jnp.where(take, (new_k % spp).astype(jnp.int32), s["samp"])
+        new_samp = jnp.where(take,
+                             (new_k % spp).astype(jnp.int32) + s["samp_off"],
+                             s["samp"])
         ro, rd, cw, cs = _primary_rays(scene, settings, new_pix, new_samp)
 
         m = take[:, None]
@@ -231,9 +234,9 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         terminated = terminated | (cont & nan_pdf)
         cont = cont & ~nan_pdf
 
-        ratio_delta = bsdf.eval_div_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                        non_spec, cone_width=cone_w)
-        ratio = jnp.where(mat_delta[:, None], ratio_delta,
+        # delta materials are smooth dielectrics: eval/pdf == 1 analytically
+        # (reference Dielectric::eval_div_pdf) — no need to re-evaluate
+        ratio = jnp.where(mat_delta[:, None], 1.0,
                           f2 / jnp.maximum(_dt(pdf2), 1e-20)[:, None])
         ratio = jnp.where(jnp.isnan(ratio) | jnp.isinf(ratio), 0.0, ratio)
         throughput = jnp.where(cont[:, None], throughput * ratio, throughput)
@@ -284,7 +287,7 @@ def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None):
 
 
 def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
-                     tracer=None, progress=False, chunk_supersteps=None):
+                     tracer=None, progress=False, sample_offset=0):
     """Full-frame MIS render with the refill wavefront."""
     import time
     from vimg_tpu.geometry.trace import make_tracer
@@ -294,6 +297,7 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
     B = min(settings.batch_size, max(total // 2, 1024))
 
     state = init_state(B)
+    state["samp_off"] = jnp.int32(sample_offset)
     accum = jnp.zeros((W * H, 3), jnp.float32)
     run = make_run(scene, settings, tracer, total, B)
 

@@ -132,6 +132,12 @@ class Scene:
     lights_have_tri: bool = _meta()
     lights_have_sphere: bool = _meta()
     lights_have_bg: bool = _meta()
+    # static Disney lobe pruning: skip lobes whose parameters are zero for
+    # every material in the scene (big VPU savings per shade)
+    has_sheen: bool = _meta()
+    has_clearcoat: bool = _meta()
+    has_aniso: bool = _meta()
+    has_spec_trans: bool = _meta()
 
     def n_tris(self):
         return self.tri_vidx.shape[0]
@@ -269,4 +275,10 @@ def build_scene(
         lights_have_tri=bool(np.any(np.asarray(light_type) == LIGHT_TRI)),
         lights_have_sphere=bool(np.any(np.asarray(light_type) == LIGHT_SPHERE)),
         lights_have_bg=bool(np.any(np.asarray(light_type) == LIGHT_BACKGROUND)),
+        has_sheen=bool(np.any(np.asarray(mat_scalars)[:, MS_SHEEN] != 0.0)),
+        has_clearcoat=bool(np.any(
+            np.asarray(mat_scalars)[:, MS_CLEARCOAT] != 0.0)),
+        has_aniso=bool(np.any(np.asarray(mat_scalars)[:, MS_ANISO] != 0.0)),
+        has_spec_trans=bool(np.any(
+            np.asarray(mat_scalars)[:, MS_SPEC_TRANS] != 0.0)),
         **env_kw, **atlas_kw)
