@@ -18,7 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PATHS_PER_S = 12.9e6
 SCENE = "/root/reference/scenes/disney_spheres.json"
-SLAB_SPP = 8           # timed slab; full frame is 512 spp (extrapolated)
+SLAB_SPP = 32          # timed slab; full frame is 512 spp (extrapolated).
+# NB: the wavefront's RR drain tail is a fixed ~60 supersteps regardless of
+# slab size — small slabs under-report steady-state throughput.
 
 
 def main():
@@ -41,9 +43,11 @@ def main():
     # compile + warm run
     render_wavefront(scene, slab, tracer=tracer)
     t0 = time.time()
-    render_wavefront(scene, slab, tracer=tracer)
+    _, stats = render_wavefront(scene, slab, tracer=tracer,
+                                return_stats=True)
     dt = time.time() - t0
     paths_per_s = total / dt
+    rays_per_s = (stats["segments"] + stats["shadow_rays"]) / dt
 
     full_frame_s = settings.width * settings.height * 512 / paths_per_s
     result = {
@@ -54,7 +58,10 @@ def main():
         "vs_baseline": round(paths_per_s / BASELINE_PATHS_PER_S, 3),
     }
     print(json.dumps(result))
-    print(f"# est. full 512spp frame: {full_frame_s:.1f}s "
+    print(f"# rays/s/chip: {rays_per_s / 1e6:.2f}M "
+          f"({stats['segments'] / 1e6:.1f}M segments + "
+          f"{stats['shadow_rays'] / 1e6:.1f}M shadow in {dt:.1f}s); "
+          f"est. full 512spp frame: {full_frame_s:.1f}s "
           f"(reference: 57s on Ryzen 7 7700)", file=sys.stderr)
 
 

@@ -74,13 +74,10 @@ class TestBVHBuild:
 
 
 class TestBVHTraversal:
-    @pytest.mark.parametrize("builder", ["numpy", "native"])
+    @pytest.mark.parametrize("builder", ["numpy", "native", "sweep"])
     def test_closest_matches_bruteforce(self, builder):
         scene = _random_tri_scene()
-        if builder == "native":
-            arrays = build_scene_bvh(scene, builder="native")
-        else:
-            arrays = build_scene_bvh(scene, builder="numpy")
+        arrays = build_scene_bvh(scene, builder=builder)
         ro, rd = _random_rays(512)
         minT = jnp.full((512,), 1e-4)
         maxT = jnp.full((512,), jnp.inf)

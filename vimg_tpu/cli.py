@@ -94,7 +94,7 @@ def main(argv=None):
     settings = dataclasses.replace(settings, **over)
 
     t0 = time.time()
-    tracer = make_tracer(scene)
+    tracer = make_tracer(scene, force="sweep" if args.bvh == 1 else None)
     print(f"Acceleration structure built in {time.time() - t0:.2f}s")
 
     if args.heatmap is not None:

@@ -217,14 +217,17 @@ def build_bvh_numpy(bmin, bmax, centers):
 
 
 def build_scene_bvh(scene: ir.Scene, builder="auto") -> BVHArrays:
+    """builder: auto | native | sweep | numpy. 'sweep' is the reference's
+    -b 1 exact sweep-SAH (native only); others use binned SAH."""
     bmin, bmax, centers, ptype, pidx = scene_prim_bounds(scene)
     built = None
-    if builder in ("auto", "native"):
+    if builder in ("auto", "native", "sweep"):
         try:
             from vimg_tpu.runtime.native import build_bvh_native
-            built = build_bvh_native(bmin, bmax, centers)
+            built = build_bvh_native(bmin, bmax, centers,
+                                     mode=1 if builder == "sweep" else 0)
         except Exception:
-            if builder == "native":
+            if builder in ("native", "sweep"):
                 raise
     if built is None:
         built = build_bvh_numpy(bmin, bmax, centers)

@@ -253,6 +253,25 @@ def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
 
     hit_p = u[:, None] * p0 + v[:, None] * p1 + w[:, None] * p2
 
+    # Static fast path: with no UV consumers, no anisotropy and no normal
+    # maps, the tangent frame orientation is irrelevant (isotropic GGX) and
+    # all UV/differential math is dead — use the cheap ONB.
+    if not (scene.needs_uv or scene.has_aniso or scene.has_normal_maps):
+        tangent, bitangent = onb_from_normal(n_s)
+        uv = jnp.stack([u, v], axis=-1)
+        if scene.needs_cones:
+            dnds = n2 - n0
+            dndt = n2 - n1
+            curvature = (dot(dnds, tangent) + dot(dndt, bitangent)) / 2.0
+        else:
+            curvature = jnp.zeros_like(u)
+        prim_area = jnp.sqrt(jnp.maximum(
+            dot(cross(e1, e2), cross(e1, e2)), 0.0))
+        return dict(mat_id=scene.tri_mat[tid], p=hit_p, n_s=n_s, n_g=n_g,
+                    uv=uv, mr_uv=uv, tangent=tangent, bitangent=bitangent,
+                    prim_area=prim_area, uv_area=jnp.zeros_like(u),
+                    curvature=curvature)
+
     has_uv = (flags & ir.TRI_HAS_UV) != 0
     uv0 = jnp.where(has_uv[:, None], scene.vuv[vidx[:, 0]],
                     jnp.asarray([0.0, 0.0]))
@@ -349,24 +368,27 @@ def _sphere_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
     hit_p = ro + rd * t[:, None]
     n = normalize(hit_p - center)
 
-    theta = jnp.arccos(jnp.clip(-n[:, 1], -1.0, 1.0))
-    phi = jnp.arctan2(-n[:, 2], n[:, 0]) + jnp.pi
-    u = phi / (2.0 * jnp.pi)
-    v = theta / jnp.pi
-
-    dpdu = jnp.stack([-radius * n[:, 1], radius * n[:, 0],
-                      jnp.zeros_like(radius)], axis=-1)
-    tangent = dpdu - n * dotk(dpdu, n)
-    tlen2 = dot(tangent, tangent)
-    au, _ = onb_from_normal(n)
-    tangent = jnp.where((tlen2 > 1e-12)[:, None], normalize(tangent), au)
-    bitangent = normalize(cross(n, tangent))
-
-    uv = jnp.stack([u, v], axis=-1)
+    if scene.needs_uv:
+        theta = jnp.arccos(jnp.clip(-n[:, 1], -1.0, 1.0))
+        phi = jnp.arctan2(-n[:, 2], n[:, 0]) + jnp.pi
+        u = phi / (2.0 * jnp.pi)
+        v = theta / jnp.pi
+        dpdu = jnp.stack([-radius * n[:, 1], radius * n[:, 0],
+                          jnp.zeros_like(radius)], axis=-1)
+        tangent = dpdu - n * dotk(dpdu, n)
+        tlen2 = dot(tangent, tangent)
+        au, _ = onb_from_normal(n)
+        tangent = jnp.where((tlen2 > 1e-12)[:, None], normalize(tangent), au)
+        bitangent = normalize(cross(n, tangent))
+        uv = jnp.stack([u, v], axis=-1)
+    else:
+        tangent, bitangent = onb_from_normal(n)
+        uv = n[..., :2] * 0.0   # derived from n so shard_map vma matches
+    ones = 1.0 + n[..., 0] * 0.0
     return dict(mat_id=scene.sph_mat[sid], p=hit_p, n_s=n, n_g=n, uv=uv,
                 mr_uv=uv, tangent=tangent, bitangent=bitangent,
-                prim_area=jnp.ones_like(u), uv_area=jnp.full_like(u, 1e-6),
-                curvature=1.0 / radius)
+                prim_area=ones, uv_area=ones * 1e-6,
+                curvature=ones / radius)
 
 
 def _light_id_of_prim(scene: ir.Scene, prim_type, prim_id):

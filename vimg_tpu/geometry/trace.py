@@ -39,4 +39,4 @@ def make_tracer(scene: ir.Scene, force=None):
         from vimg_tpu.geometry.soa_intersect import SoATracer
         return SoATracer(scene)
     from vimg_tpu.geometry.bvh import BVHTracer
-    return BVHTracer(scene)
+    return BVHTracer(scene, builder="sweep" if force == "sweep" else "auto")

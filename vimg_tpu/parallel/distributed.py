@@ -1,0 +1,79 @@
+"""Multi-host launch helpers.
+
+The reference is single-process (SURVEY §2.3: "no distributed layer
+whatsoever"); for TPU pods this module wires `jax.distributed` so every host
+joins one global mesh. Rays stay data-parallel across all chips of all
+hosts (ICI within a slice, DCN across hosts is only touched by the final
+film reduction and — for training — the gradient psum in diff/grad.py).
+
+Typical pod launch (same command on every host):
+
+    python -m vimg_tpu.cli -f scene.json --distributed
+or
+    from vimg_tpu.parallel.distributed import initialize, global_mesh
+    initialize()                     # env-driven (TPU pod metadata)
+    mesh = global_mesh()             # 1-D ("rays",) mesh over ALL devices
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address=None, num_processes=None, process_id=None):
+    """Join the jax.distributed cluster. On Cloud TPU pods the arguments
+    are discovered from the environment; pass them explicitly elsewhere."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs["coordinator_address"] = (
+            coordinator_address or os.environ["JAX_COORDINATOR_ADDRESS"])
+        kwargs["num_processes"] = int(
+            num_processes or os.environ.get("JAX_NUM_PROCESSES", 1))
+        kwargs["process_id"] = int(
+            process_id or os.environ.get("JAX_PROCESS_ID", 0))
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        if kwargs:
+            raise  # explicit config must work; env-less single host is fine
+
+
+def global_mesh(axis="rays"):
+    """1-D mesh over every device of every host."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
+
+
+def render_distributed(scene, settings, tracer=None, integrator=None):
+    """Full-frame render across all hosts: each process traces its slice of
+    the (pixel, sample) work, then the films are psum'd. Every host returns
+    the full image."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from vimg_tpu.geometry.trace import make_tracer
+    from vimg_tpu.parallel.sharding import render_sharded
+
+    tracer = tracer or make_tracer(scene)
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc == 1:
+        return render_sharded(scene, settings, tracer, mesh=global_mesh(),
+                              integrator=integrator)
+
+    # split samples across processes; per-process local mesh render, then
+    # a cross-host sum of the partial films
+    spp_local = max(settings.spp // nproc, 1)
+    local = dataclasses.replace(settings, spp=spp_local)
+    local_mesh = Mesh(np.asarray(jax.local_devices()), ("rays",))
+    img = render_sharded(scene, local, tracer, mesh=local_mesh,
+                         integrator=integrator)
+
+    from jax.experimental import multihost_utils
+    total = multihost_utils.process_allgather(jnp.asarray(img))
+    return np.asarray(total).sum(axis=0) / nproc

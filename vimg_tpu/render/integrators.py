@@ -156,17 +156,21 @@ def material_integrator_loop(scene, settings, tracer, pix, samp,
         cont = found & sc.valid
         non_spec = s["non_spec"] | (cont & ~sc.is_specular)
 
-        # ray cone propagation (mat_integrator.cpp:36-50)
-        hit_dist = length(s["ro"] - hi.p)
-        ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
-                                          s["rd"], hi.n_s)
+        # ray cone propagation (mat_integrator.cpp:36-50); dead weight
+        # without any mip-mapped consumer
         refr = sc.eta != 0.0
-        w_refl, s_refl = propagate_reflect(s["cone_w"], s["cone_s"],
-                                           ssa * 2.0, hit_dist)
-        w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"], s["rd"],
-                                           ssa, sc.eta, sc.wo)
-        cone_w = jnp.where(refr, w_refr, w_refl)
-        cone_s = jnp.where(refr, s_refr, s_refl)
+        if scene.needs_cones:
+            hit_dist = length(s["ro"] - hi.p)
+            ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
+                                              s["rd"], hi.n_s)
+            w_refl, s_refl = propagate_reflect(s["cone_w"], s["cone_s"],
+                                               ssa * 2.0, hit_dist)
+            w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"],
+                                               s["rd"], ssa, sc.eta, sc.wo)
+            cone_w = jnp.where(refr, w_refr, w_refl)
+            cone_s = jnp.where(refr, s_refr, s_refl)
+        else:
+            cone_w, cone_s = s["cone_w"], s["cone_s"]
         eta_scale = jnp.where(refr, s["eta_scale"] / (sc.eta * sc.eta),
                               s["eta_scale"])
 
@@ -247,11 +251,14 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         result = s["result"]
 
         mat_delta = bsdf.is_delta(scene, hi.mat_id)
-        hit_dist = length(s["ro"] - hi.p)
-        ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
-                                          s["rd"], hi.n_s)
-        nee_cone_w, nee_cone_s = propagate_reflect(
-            s["cone_w"], s["cone_s"], ssa * 2.0, hit_dist)
+        if scene.needs_cones:
+            hit_dist = length(s["ro"] - hi.p)
+            ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
+                                              s["rd"], hi.n_s)
+            nee_cone_w, nee_cone_s = propagate_reflect(
+                s["cone_w"], s["cone_s"], ssa * 2.0, hit_dist)
+        else:
+            nee_cone_w, nee_cone_s = s["cone_w"], s["cone_s"]
 
         # ---- light sampling (NEE) -------------------------------------
         if n_lights > 0:
@@ -291,10 +298,13 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         non_spec = s["non_spec"] | (cont & ~sc.is_specular)
 
         refr = sc.eta != 0.0
-        w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"], s["rd"],
-                                           ssa, sc.eta, sc.wo)
-        cone_w = jnp.where(refr, w_refr, nee_cone_w)
-        cone_s = jnp.where(refr, s_refr, nee_cone_s)
+        if scene.needs_cones:
+            w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"],
+                                               s["rd"], ssa, sc.eta, sc.wo)
+            cone_w = jnp.where(refr, w_refr, nee_cone_w)
+            cone_s = jnp.where(refr, s_refr, nee_cone_s)
+        else:
+            cone_w, cone_s = nee_cone_w, nee_cone_s
         eta_scale = jnp.where(refr, s["eta_scale"] / (sc.eta * sc.eta),
                               s["eta_scale"])
 

@@ -72,6 +72,12 @@ def init_state(B):
         next_work=jnp.int32(0),
         n_done=jnp.int32(0),
         samp_off=jnp.int32(0),
+        # perf counters: path segments processed / shadow rays cast
+        # (the reference has no ray counters — BASELINE.md asks for rays/s;
+        # f32 is exact up to 16M per superstep increment, totals ~1e11 keep
+        # ~7 significant digits which is plenty for a throughput metric)
+        n_segments=jnp.float32(0),
+        n_shadow=jnp.float32(0),
     )
 
 
@@ -127,6 +133,9 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         minT = MIN_T + s["cone_w"] * 0.0
         infT = jnp.inf + s["cone_w"] * 0.0
 
+        n_alive = jnp.sum(alive, dtype=jnp.float32)
+        s = dict(s, n_segments=s["n_segments"] + n_alive)
+
         # ---- 1. trace pending rays ------------------------------------
         hr = tracer.closest(scene, s["ro"], s["rd"], minT, infT)
         hi = intersect.hit_info(scene, s["ro"], s["rd"], hr)
@@ -174,11 +183,14 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         cont = cont & ~rr_kill
 
         # ---- 2. NEE ----------------------------------------------------
-        hit_dist = length(s["ro"] - hi.p)
-        ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
-                                          s["rd"], hi.n_s)
-        nee_cone_w, nee_cone_s = propagate_reflect(
-            s["cone_w"], s["cone_s"], ssa * 2.0, hit_dist)
+        if scene.needs_cones:
+            hit_dist = length(s["ro"] - hi.p)
+            ssa = spread_angle_from_curvature(hi.curvature, s["cone_w"],
+                                              s["rd"], hi.n_s)
+            nee_cone_w, nee_cone_s = propagate_reflect(
+                s["cone_w"], s["cone_s"], ssa * 2.0, hit_dist)
+        else:
+            nee_cone_w, nee_cone_s = s["cone_w"], s["cone_s"]
 
         mat_delta = bsdf.is_delta(scene, hi.mat_id)
         if n_lights > 0:
@@ -193,6 +205,8 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             shadow_max = jnp.where(jnp.isfinite(ls.dist),
                                    ls.dist - SHADOW_EPS, infT)
             occl = tracer.occluded(scene, hi.p, ls.wi, minT, shadow_max)
+            s = dict(s, n_shadow=s["n_shadow"]
+                     + jnp.sum(do_nee, dtype=jnp.float32))
             f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
                                     s["non_spec"], cone_width=nee_cone_w)
             ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
@@ -221,10 +235,13 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         non_spec = s["non_spec"] | (cont & ~sc.is_specular)
 
         refr = sc.eta != 0.0
-        w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"], s["rd"],
-                                           ssa, sc.eta, sc.wo)
-        cone_w = jnp.where(refr, w_refr, nee_cone_w)
-        cone_s = jnp.where(refr, s_refr, nee_cone_s)
+        if scene.needs_cones:
+            w_refr, s_refr = propagate_refract(s["cone_w"], s["cone_s"],
+                                               s["rd"], ssa, sc.eta, sc.wo)
+            cone_w = jnp.where(refr, w_refr, nee_cone_w)
+            cone_s = jnp.where(refr, s_refr, nee_cone_s)
+        else:
+            cone_w, cone_s = nee_cone_w, nee_cone_s
         eta_scale = jnp.where(refr, s["eta_scale"] / (sc.eta * sc.eta),
                               s["eta_scale"])
 
@@ -287,7 +304,8 @@ def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None):
 
 
 def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
-                     tracer=None, progress=False, sample_offset=0):
+                     tracer=None, progress=False, sample_offset=0,
+                     return_stats=False):
     """Full-frame MIS render with the refill wavefront."""
     import time
     from vimg_tpu.geometry.trace import make_tracer
@@ -306,6 +324,16 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
     accum.block_until_ready()
     if progress:
         dt = time.time() - t0
+        segs = float(state["n_segments"])
+        shadow = float(state["n_shadow"])
+        rays = segs + shadow
         print(f"Render Completed: {int(it)} supersteps, "
-              f"{total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s")
-    return np.asarray(accum).reshape(H, W, 3) / spp
+              f"{total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s, "
+              f"{rays / max(dt, 1e-9) / 1e6:.2f} Mrays/s "
+              f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
+    img = np.asarray(accum).reshape(H, W, 3) / spp
+    if return_stats:
+        return img, dict(supersteps=int(it),
+                         segments=float(state["n_segments"]),
+                         shadow_rays=float(state["n_shadow"]))
+    return img

@@ -46,6 +46,7 @@ struct Builder {
   const V3* bmax;
   const V3* cen;
   int32_t* order;
+  bool sweep = false;   // exact per-axis sweep SAH instead of binning
 
   std::vector<V3> node_min, node_max;
   std::vector<int32_t> node_start, node_count, node_right;
@@ -90,8 +91,59 @@ struct Builder {
       int best_axis = -1, best_bin = -1;
       float best_cost = std::numeric_limits<float>::infinity();
       float best_c0 = 0, best_scale = 0;
+      int sweep_mid = -1;
 
-      if (!do_leaf) {
+      if (!do_leaf && sweep) {
+        // exact sweep SAH (reference src/bvh/sweep_bvh.cpp): sort the range
+        // per axis, suffix-sweep right costs, prefix-sweep left costs
+        static thread_local std::vector<int32_t> scratch;
+        static thread_local std::vector<float> rcost;
+        scratch.resize(n);
+        rcost.resize(n);
+        float sweep_best = std::numeric_limits<float>::infinity();
+        int sweep_axis = -1;
+        for (int axis = 0; axis < 3; axis++) {
+          std::copy(order + f.s, order + f.e, scratch.begin());
+          std::sort(scratch.begin(), scratch.end(), [&](int a, int b) {
+            return (&cen[a].x)[axis] < (&cen[b].x)[axis];
+          });
+          V3 rlo = bmin[scratch[n - 1]], rhi = bmax[scratch[n - 1]];
+          rcost[n - 1] = half_sa(rlo, rhi);
+          for (int i = n - 2; i >= 1; i--) {
+            rlo = vmin(rlo, bmin[scratch[i]]);
+            rhi = vmax(rhi, bmax[scratch[i]]);
+            rcost[i] = half_sa(rlo, rhi) * (n - i);
+          }
+          V3 llo = bmin[scratch[0]], lhi = bmax[scratch[0]];
+          for (int i = 1; i < n; i++) {
+            llo = vmin(llo, bmin[scratch[i - 1]]);
+            lhi = vmax(lhi, bmax[scratch[i - 1]]);
+            float c = half_sa(llo, lhi) * i + rcost[i];
+            if (c < sweep_best) {
+              sweep_best = c;
+              sweep_axis = axis;
+              sweep_mid = i;
+            }
+          }
+        }
+        if (sweep_axis >= 0) {
+          float sa_node = std::max(half_sa(lo, hi), 1e-12f);
+          float split_cost =
+              kCostTraverse + kCostIntersect * sweep_best / sa_node;
+          if (split_cost >= kCostIntersect * n && n <= kLeafSize) {
+            do_leaf = true;
+          } else {
+            // re-sort the actual range on the winning axis
+            std::sort(order + f.s, order + f.e, [&](int a, int b) {
+              return (&cen[a].x)[sweep_axis] < (&cen[b].x)[sweep_axis];
+            });
+            best_axis = sweep_axis;  // marks "split found"
+          }
+        } else {
+          do_leaf = n <= kLeafSize;
+        }
+        if (!do_leaf && best_axis < 0) sweep_mid = -1;  // median fallback
+      } else if (!do_leaf) {
         float cext[3] = {chi.x - clo.x, chi.y - clo.y, chi.z - clo.z};
         const float* clo_p = &clo.x;
         for (int axis = 0; axis < 3; axis++) {
@@ -163,8 +215,21 @@ struct Builder {
       }
 
       int mid;
-      if (best_axis < 0) {
+      if (sweep && sweep_mid >= 0) {
+        mid = sweep_mid;   // order already sorted on the winning axis
+      } else if (best_axis < 0) {
         // median split on the largest extent axis
+        V3 ext = {hi.x - lo.x, hi.y - lo.y, hi.z - lo.z};
+        int axis = 0;
+        if (ext.y > (&ext.x)[axis]) axis = 1;
+        if (ext.z > (&ext.x)[axis]) axis = 2;
+        std::nth_element(order + f.s, order + f.s + n / 2, order + f.e,
+                         [&](int a, int b) {
+                           return (&cen[a].x)[axis] < (&cen[b].x)[axis];
+                         });
+        mid = n / 2;
+      } else if (sweep) {
+        // sweep chose leaf-vs-split only; degenerate — median fallback
         V3 ext = {hi.x - lo.x, hi.y - lo.y, hi.z - lo.z};
         int axis = 0;
         if (ext.y > (&ext.x)[axis]) axis = 1;
@@ -206,14 +271,34 @@ struct Builder {
 extern "C" {
 
 // Builds the BVH. Caller allocates outputs for up to 2*n-1 nodes.
-// Returns the number of nodes, or -1 on error.
+// Returns the number of nodes, or -1 on error. mode: 0 = binned SAH,
+// 1 = exact sweep SAH (reference -b 0/1, src/bvh/{bin,sweep}_bvh.cpp).
+int32_t vimg_build_bvh_mode(int32_t n_prims, int32_t mode,
+                            const float* bmin_in, const float* bmax_in,
+                            const float* centers_in, float* out_node_min,
+                            float* out_node_max, int32_t* out_start,
+                            int32_t* out_count, int32_t* out_skip,
+                            int32_t* out_order);
+
 int32_t vimg_build_bvh(int32_t n_prims, const float* bmin_in,
                        const float* bmax_in, const float* centers_in,
                        float* out_node_min, float* out_node_max,
                        int32_t* out_start, int32_t* out_count,
                        int32_t* out_skip, int32_t* out_order) {
+  return vimg_build_bvh_mode(n_prims, 0, bmin_in, bmax_in, centers_in,
+                             out_node_min, out_node_max, out_start,
+                             out_count, out_skip, out_order);
+}
+
+int32_t vimg_build_bvh_mode(int32_t n_prims, int32_t mode,
+                            const float* bmin_in, const float* bmax_in,
+                            const float* centers_in, float* out_node_min,
+                            float* out_node_max, int32_t* out_start,
+                            int32_t* out_count, int32_t* out_skip,
+                            int32_t* out_order) {
   if (n_prims <= 0) return -1;
   Builder b;
+  b.sweep = (mode == 1);
   b.bmin = reinterpret_cast<const V3*>(bmin_in);
   b.bmax = reinterpret_cast<const V3*>(bmax_in);
   b.cen = reinterpret_cast<const V3*>(centers_in);

@@ -36,9 +36,9 @@ def get_lib():
         if _LIB is None:
             path = _compile_lib()
             lib = ctypes.CDLL(str(path))
-            lib.vimg_build_bvh.restype = ctypes.c_int32
-            lib.vimg_build_bvh.argtypes = [
-                ctypes.c_int32,
+            lib.vimg_build_bvh_mode.restype = ctypes.c_int32
+            lib.vimg_build_bvh_mode.argtypes = [
+                ctypes.c_int32, ctypes.c_int32,
                 np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
                 np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
@@ -53,8 +53,9 @@ def get_lib():
     return _LIB
 
 
-def build_bvh_native(bmin, bmax, centers):
-    """Same contract as geometry.bvh.build_bvh_numpy, but in C++."""
+def build_bvh_native(bmin, bmax, centers, mode=0):
+    """Same contract as geometry.bvh.build_bvh_numpy, but in C++.
+    mode: 0 = binned SAH, 1 = exact sweep SAH (reference -b flag)."""
     lib = get_lib()
     n = np.int32(bmin.shape[0])
     bmin = np.ascontiguousarray(bmin, np.float32)
@@ -67,8 +68,9 @@ def build_bvh_native(bmin, bmax, centers):
     count = np.empty(cap, np.int32)
     skip = np.empty(cap, np.int32)
     order = np.empty(int(n), np.int32)
-    n_nodes = lib.vimg_build_bvh(n, bmin, bmax, centers, node_min, node_max,
-                                 start, count, skip, order)
+    n_nodes = lib.vimg_build_bvh_mode(n, np.int32(mode), bmin, bmax, centers,
+                                      node_min, node_max, start, count, skip,
+                                      order)
     if n_nodes < 0:
         raise RuntimeError("native BVH build failed")
     return dict(node_min=node_min[:n_nodes], node_max=node_max[:n_nodes],

@@ -138,6 +138,19 @@ class Scene:
     has_clearcoat: bool = _meta()
     has_aniso: bool = _meta()
     has_spec_trans: bool = _meta()
+    has_checker: bool = _meta()
+
+    @property
+    def needs_uv(self):
+        """Hit UVs only matter when some texture consumes them."""
+        return self.has_image_tex or self.has_checker
+
+    @property
+    def needs_cones(self):
+        """Ray cones drive mip LOD; without image textures or an env map
+        the cone updates (incl. the costly refraction construction) are
+        dead weight."""
+        return self.has_image_tex or self.has_envmap
 
     def n_tris(self):
         return self.tri_vidx.shape[0]
@@ -281,4 +294,5 @@ def build_scene(
         has_aniso=bool(np.any(np.asarray(mat_scalars)[:, MS_ANISO] != 0.0)),
         has_spec_trans=bool(np.any(
             np.asarray(mat_scalars)[:, MS_SPEC_TRANS] != 0.0)),
+        has_checker=bool(np.any(np.asarray(tex_type) == TEX_CHECKER)),
         **env_kw, **atlas_kw)
