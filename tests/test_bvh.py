@@ -132,3 +132,39 @@ class TestBVHTracerEndToEnd:
                                  pix, samp, integrator="s_normal")
         assert np.allclose(np.asarray(col_bf), np.asarray(col_bvh),
                            atol=1e-4)
+
+
+class TestRefit:
+    def test_refit_after_move(self):
+        """Move the geometry, refit on device, traversal must still match
+        brute force on the moved scene."""
+        import jax.numpy as jnp
+        from vimg_tpu.geometry.bvh import BVHTracer
+        scene = _random_tri_scene(150, 8)
+        tracer = BVHTracer(scene, builder="numpy")
+
+        # translate + stretch all geometry
+        moved = scene.replace(
+            verts=scene.verts * 1.3 + jnp.asarray([2.0, -1.0, 0.5]),
+            sph_center=scene.sph_center * 1.3 + jnp.asarray([2.0, -1.0, 0.5]),
+            sph_radius=scene.sph_radius * 1.1)
+        tracer.refit(moved)
+
+        ro, rd = _random_rays_local(512, seed=11)
+        minT = jnp.full((512,), 1e-4)
+        maxT = jnp.full((512,), jnp.inf)
+        hr_b = tracer.closest(moved, ro, rd, minT, maxT)
+        hr_f = intersect_bruteforce(moved, ro, rd, minT, maxT)
+        t_b, t_f = np.asarray(hr_b.t), np.asarray(hr_f.t)
+        assert (np.isfinite(t_b) == np.isfinite(t_f)).mean() > 0.999
+        both = np.isfinite(t_b) & np.isfinite(t_f)
+        assert np.allclose(t_b[both], t_f[both], rtol=1e-4, atol=1e-4)
+
+
+def _random_rays_local(n, seed=1):
+    import jax.numpy as jnp
+    r = np.random.default_rng(seed)
+    ro = r.uniform(-15, 15, size=(n, 3)).astype(np.float32)
+    rd = r.normal(size=(n, 3)).astype(np.float32)
+    rd /= np.linalg.norm(rd, axis=1, keepdims=True)
+    return jnp.asarray(ro), jnp.asarray(rd)

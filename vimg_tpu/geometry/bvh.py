@@ -20,6 +20,7 @@ test up to LEAF_SIZE primitives at once (vectorized over rays x prims).
 """
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 
 import jax
@@ -43,6 +44,7 @@ class BVHArrays:
     node_start: jax.Array  # (N,) i32: first prim (leaf) / unused (inner)
     node_count: jax.Array  # (N,) i32: prim count; 0 == inner node
     node_skip: jax.Array   # (N,) i32: DFS skip pointer
+    node_right: jax.Array  # (N,) i32: right child (inner; undefined leaf)
     prim_type: jax.Array   # (P,) i32 (PRIM_TRI / PRIM_SPHERE), build order
     prim_idx: jax.Array    # (P,) i32 index into tri/sphere tables
 
@@ -213,7 +215,28 @@ def build_bvh_numpy(bmin, bmax, centers):
             stack2.append((i + 1, r))
             stack2.append((r, skip))
     return dict(node_min=node_min, node_max=node_max, node_start=node_start,
-                node_count=node_count, node_skip=node_skip, order=order)
+                node_count=node_count, node_skip=node_skip, order=order,
+                node_right=node_right)
+
+
+def _bvh_levels(node_count, node_right):
+    """Depth of every node (preorder walk) -> list of per-level index
+    arrays, deepest first — the schedule for the on-device refit."""
+    N = node_count.shape[0]
+    depth = np.zeros(N, np.int32)
+    stack = [(0, 0)]
+    while stack:
+        i, d = stack.pop()
+        depth[i] = d
+        if node_count[i] == 0:
+            stack.append((i + 1, d + 1))
+            stack.append((node_right[i], d + 1))
+    levels = []
+    for d in range(depth.max(), -1, -1):
+        idx = np.nonzero(depth == d)[0].astype(np.int32)
+        if idx.size:
+            levels.append(idx)
+    return levels
 
 
 def build_scene_bvh(scene: ir.Scene, builder="auto") -> BVHArrays:
@@ -232,12 +255,23 @@ def build_scene_bvh(scene: ir.Scene, builder="auto") -> BVHArrays:
     if built is None:
         built = build_bvh_numpy(bmin, bmax, centers)
     order = built["order"]
+    if "node_right" in built:
+        node_right = built["node_right"]
+    else:
+        # preorder invariant: left child = i+1, and skip(left) = right
+        count = built["node_count"]
+        skip = built["node_skip"]
+        N = count.shape[0]
+        node_right = np.full(N, -1, np.int32)
+        inner = np.nonzero(count == 0)[0]
+        node_right[inner] = skip[np.minimum(inner + 1, N - 1)]
     return BVHArrays(
         node_min=jnp.asarray(built["node_min"]),
         node_max=jnp.asarray(built["node_max"]),
         node_start=jnp.asarray(built["node_start"]),
         node_count=jnp.asarray(built["node_count"]),
         node_skip=jnp.asarray(built["node_skip"]),
+        node_right=jnp.asarray(node_right, dtype=jnp.int32),
         prim_type=jnp.asarray(ptype[order]),
         prim_idx=jnp.asarray(pidx[order]))
 
@@ -394,9 +428,69 @@ def bvh_traverse(scene, bvh: BVHArrays, ro, rd, minT, maxT, any_hit=False,
     return hr
 
 
+def refit_bvh(scene: ir.Scene, bvh: BVHArrays, levels) -> BVHArrays:
+    """On-device BVH refit: recompute every AABB bottom-up for the current
+    vertex/sphere positions, keeping topology (north-star item — enables
+    differentiable/animated geometry without host rebuilds).
+
+    ``levels``: per-depth node index arrays, deepest first (host-static,
+    from ``_bvh_levels``). Jittable; cost is a few gathers/scatters per
+    tree level.
+    """
+    # per-prim AABBs in build (prim_order) order
+    P = bvh.prim_type.shape[0]
+    pmin = jnp.full((P, 3), jnp.inf)
+    pmax = jnp.full((P, 3), -jnp.inf)
+    if scene.n_tris() > 0:
+        tid = jnp.clip(bvh.prim_idx, 0, scene.n_tris() - 1)
+        tri = scene.verts[scene.tri_vidx[tid]]          # (P, 3, 3)
+        is_tri = (bvh.prim_type == ir.PRIM_TRI)[:, None]
+        pmin = jnp.where(is_tri, tri.min(axis=1), pmin)
+        pmax = jnp.where(is_tri, tri.max(axis=1), pmax)
+    if scene.n_spheres() > 0:
+        sid = jnp.clip(bvh.prim_idx, 0, scene.n_spheres() - 1)
+        c = scene.sph_center[sid]
+        r = scene.sph_radius[sid][:, None]
+        is_sph = (bvh.prim_type == ir.PRIM_SPHERE)[:, None]
+        pmin = jnp.where(is_sph, c - r, pmin)
+        pmax = jnp.where(is_sph, c + r, pmax)
+
+    node_min = bvh.node_min
+    node_max = bvh.node_max
+    lanes = jnp.arange(LEAF_SIZE, dtype=jnp.int32)[None, :]
+    for idx in levels:
+        idx = jnp.asarray(idx)
+        count = bvh.node_count[idx]
+        start = bvh.node_start[idx]
+        is_leaf = count > 0
+        # leaf: masked min/max over its <=LEAF_SIZE prims
+        slot = jnp.clip(start[:, None] + lanes, 0, P - 1)
+        valid = (lanes < count[:, None])[..., None]
+        leaf_min = jnp.where(valid, pmin[slot], jnp.inf).min(axis=1)
+        leaf_max = jnp.where(valid, pmax[slot], -jnp.inf).max(axis=1)
+        # inner: combine children (deeper levels already updated)
+        left = jnp.clip(idx + 1, 0, node_min.shape[0] - 1)
+        right = jnp.clip(bvh.node_right[idx], 0, node_min.shape[0] - 1)
+        in_min = jnp.minimum(node_min[left], node_min[right])
+        in_max = jnp.maximum(node_max[left], node_max[right])
+        new_min = jnp.where(is_leaf[:, None], leaf_min, in_min)
+        new_max = jnp.where(is_leaf[:, None], leaf_max, in_max)
+        node_min = node_min.at[idx].set(new_min)
+        node_max = node_max.at[idx].set(new_max)
+    return dataclasses.replace(bvh, node_min=node_min, node_max=node_max)
+
+
 class BVHTracer:
     def __init__(self, scene: ir.Scene, builder="auto"):
         self.bvh = build_scene_bvh(scene, builder=builder)
+        nc = np.asarray(self.bvh.node_count)
+        nr = np.asarray(self.bvh.node_right)
+        self.levels = _bvh_levels(nc, nr)
+
+    def refit(self, scene):
+        """Update AABBs for moved geometry (topology preserved)."""
+        self.bvh = refit_bvh(scene, self.bvh, self.levels)
+        return self
 
     def closest(self, scene, ro, rd, minT, maxT):
         return bvh_traverse(scene, self.bvh, ro, rd, minT, maxT)

@@ -140,12 +140,8 @@ def material_integrator_loop(scene, settings, tracer, pix, samp,
         hi = intersect.hit_info(scene, s["ro"], s["rd"], hr)
         emitted_col = bsdf.emitted(scene, hi.mat_id, s["rd"], hi.n_s)
 
-        rands = {
-            "lobe": rng.uniform1(pix, samp, d, Draw.BSDF_LOBE),
-            "u": rng.uniform1(pix, samp, d, Draw.BSDF_SAMPLE),
-            "v": rng.uniform1(pix, samp, d, Draw.BSDF_SAMPLE + 8),
-            "fresnel": rng.uniform1(pix, samp, d, Draw.BSDF_FRESNEL),
-        }
+        b1, b2, b3, b4 = rng.uniform4(pix, samp, d, Draw.BSDF_SAMPLE)
+        rands = {"lobe": b1, "u": b2, "v": b3, "fresnel": b4}
         sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
                              s["non_spec"])
 
@@ -262,8 +258,8 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
 
         # ---- light sampling (NEE) -------------------------------------
         if n_lights > 0:
-            pick = rng.uniform1(pix, samp, d, Draw.LIGHT_PICK)
-            lr1, lr2 = rng.uniform2(pix, samp, d, Draw.LIGHT_SAMPLE)
+            pick, lr1, lr2, _rr = rng.uniform4(pix, samp, d,
+                                               Draw.LIGHT_SAMPLE)
             ls = emitters.sample_lights(scene, hi.p, pick, lr1, lr2)
             ls = emitters.LightSample(radiance=ls.radiance, wi=_dt(ls.wi),
                                       pdf=_dt(ls.pdf), dist=_dt(ls.dist),
@@ -284,12 +280,8 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             result = result + jnp.where(ok[..., None], contrib, 0.0)
 
         # ---- BSDF sampling --------------------------------------------
-        rands = {
-            "lobe": rng.uniform1(pix, samp, d, Draw.BSDF_LOBE),
-            "u": rng.uniform1(pix, samp, d, Draw.BSDF_SAMPLE),
-            "v": rng.uniform1(pix, samp, d, Draw.BSDF_SAMPLE + 8),
-            "fresnel": rng.uniform1(pix, samp, d, Draw.BSDF_FRESNEL),
-        }
+        b1, b2, b3, b4 = rng.uniform4(pix, samp, d, Draw.BSDF_SAMPLE)
+        rands = {"lobe": b1, "u": b2, "v": b3, "fresnel": b4}
         sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
                              s["non_spec"])
         sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),

@@ -194,9 +194,8 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
 
         mat_delta = bsdf.is_delta(scene, hi.mat_id)
         if n_lights > 0:
-            pick = rng.uniform1(s["pix"], s["samp"], s["d"], Draw.LIGHT_PICK)
-            lr1, lr2 = rng.uniform2(s["pix"], s["samp"], s["d"],
-                                    Draw.LIGHT_SAMPLE)
+            pick, lr1, lr2, _ = rng.uniform4(s["pix"], s["samp"], s["d"],
+                                             Draw.LIGHT_SAMPLE)
             ls = emitters.sample_lights(scene, hi.p, pick, lr1, lr2)
             ls = emitters.LightSample(radiance=ls.radiance, wi=_dt(ls.wi),
                                       pdf=_dt(ls.pdf), dist=_dt(ls.dist),
@@ -217,14 +216,9 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             result = result + jnp.where(ok[:, None], contrib, 0.0)
 
         # ---- 3. BSDF sampling -----------------------------------------
-        rands = {
-            "lobe": rng.uniform1(s["pix"], s["samp"], s["d"], Draw.BSDF_LOBE),
-            "u": rng.uniform1(s["pix"], s["samp"], s["d"], Draw.BSDF_SAMPLE),
-            "v": rng.uniform1(s["pix"], s["samp"], s["d"],
-                              Draw.BSDF_SAMPLE + 8),
-            "fresnel": rng.uniform1(s["pix"], s["samp"], s["d"],
-                                    Draw.BSDF_FRESNEL),
-        }
+        b1, b2, b3, b4 = rng.uniform4(s["pix"], s["samp"], s["d"],
+                                      Draw.BSDF_SAMPLE)
+        rands = {"lobe": b1, "u": b2, "v": b3, "fresnel": b4}
         sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
                              s["non_spec"])
         sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),
