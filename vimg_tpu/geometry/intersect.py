@@ -19,7 +19,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from vimg_tpu.core.math import cross, dot, dotk, normalize, onb_from_normal
+from vimg_tpu.core.math import cross, dot, dotk, normalize, onb_from_normal, tgather
 from vimg_tpu.scene import ir
 
 INF = jnp.inf
@@ -229,10 +229,10 @@ class HitInfo:
 
 def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
     tid = jnp.clip(hr.prim_id, 0, max(scene.n_tris() - 1, 0))
-    vidx = scene.tri_vidx[tid]                 # (B, 3)
-    p0 = scene.verts[vidx[:, 0]]
-    p1 = scene.verts[vidx[:, 1]]
-    p2 = scene.verts[vidx[:, 2]]
+    vidx = tgather(scene.tri_vidx, tid)        # (B, 3)
+    p0 = tgather(scene.verts, vidx[:, 0])
+    p1 = tgather(scene.verts, vidx[:, 1])
+    p2 = tgather(scene.verts, vidx[:, 2])
     u, v = hr.u, hr.v
     w = 1.0 - u - v
 
@@ -240,11 +240,11 @@ def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
     e2 = p2 - p0
     n_g = normalize(cross(e1, e2))
 
-    flags = scene.tri_flags[tid]
+    flags = tgather(scene.tri_flags, tid)
     has_n = (flags & ir.TRI_HAS_NORMALS) != 0
-    n0 = scene.vnormals[vidx[:, 0]]
-    n1 = scene.vnormals[vidx[:, 1]]
-    n2 = scene.vnormals[vidx[:, 2]]
+    n0 = tgather(scene.vnormals, vidx[:, 0])
+    n1 = tgather(scene.vnormals, vidx[:, 1])
+    n2 = tgather(scene.vnormals, vidx[:, 2])
     n_interp = normalize(u[:, None] * n0 + v[:, None] * n1 + w[:, None] * n2)
     n_s = jnp.where(has_n[:, None], n_interp, n_g)
     n0 = jnp.where(has_n[:, None], n0, n_g)
@@ -267,7 +267,7 @@ def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
             curvature = jnp.zeros_like(u)
         prim_area = jnp.sqrt(jnp.maximum(
             dot(cross(e1, e2), cross(e1, e2)), 0.0))
-        return dict(mat_id=scene.tri_mat[tid], p=hit_p, n_s=n_s, n_g=n_g,
+        return dict(mat_id=tgather(scene.tri_mat, tid), p=hit_p, n_s=n_s, n_g=n_g,
                     uv=uv, mr_uv=uv, tangent=tangent, bitangent=bitangent,
                     prim_area=prim_area, uv_area=jnp.zeros_like(u),
                     curvature=curvature)
@@ -354,7 +354,7 @@ def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
     prim_area = jnp.sqrt(jnp.maximum(dot(cross(e1, e2), cross(e1, e2)), 0.0))
     uv_area = jnp.abs((uv1[:, 0] - uv0[:, 0]) * (uv2[:, 1] - uv0[:, 1])
                       - (uv2[:, 0] - uv0[:, 0]) * (uv1[:, 1] - uv0[:, 1]))
-    mat_id = scene.tri_mat[tid]
+    mat_id = tgather(scene.tri_mat, tid)
     return dict(mat_id=mat_id, p=hit_p, n_s=n_s, n_g=n_g, uv=uv, mr_uv=mr_uv,
                 tangent=tangent, bitangent=bitangent, prim_area=prim_area,
                 uv_area=uv_area, curvature=curvature)
@@ -362,8 +362,8 @@ def _tri_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
 
 def _sphere_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
     sid = jnp.clip(hr.prim_id, 0, max(scene.n_spheres() - 1, 0))
-    center = scene.sph_center[sid]
-    radius = scene.sph_radius[sid]
+    center = tgather(scene.sph_center, sid)
+    radius = tgather(scene.sph_radius, sid)
     t = jnp.where(jnp.isfinite(hr.t), hr.t, 0.0)
     hit_p = ro + rd * t[:, None]
     n = normalize(hit_p - center)
@@ -385,7 +385,7 @@ def _sphere_hit_info(scene: ir.Scene, ro, rd, hr: HitResult):
         tangent, bitangent = onb_from_normal(n)
         uv = n[..., :2] * 0.0   # derived from n so shard_map vma matches
     ones = 1.0 + n[..., 0] * 0.0
-    return dict(mat_id=scene.sph_mat[sid], p=hit_p, n_s=n, n_g=n, uv=uv,
+    return dict(mat_id=tgather(scene.sph_mat, sid), p=hit_p, n_s=n, n_g=n, uv=uv,
                 mr_uv=uv, tangent=tangent, bitangent=bitangent,
                 prim_area=ones, uv_area=ones * 1e-6,
                 curvature=ones / radius)

@@ -13,7 +13,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from vimg_tpu.core.math import cross, dot, length2, normalize
+from vimg_tpu.core.math import cross, dot, length2, normalize, tgather
 from vimg_tpu.core.warps import INV_4PI, sample_sphere, sample_sphere_cap, sample_triangle_uv
 from vimg_tpu.core.math import onb_from_normal, onb_to_world
 from vimg_tpu.lights import envmap
@@ -31,25 +31,25 @@ class LightSample:
 
 
 def _emitted_one_sided(scene, mat_id, wi, n):
-    emit = scene.mat_base[mat_id]
+    emit = tgather(scene.mat_base, mat_id)
     front = dot(n, wi) < 0.0
     return jnp.where(front[..., None], emit, 0.0)
 
 
 def _sample_tri(scene: ir.Scene, tri_id, look_from, r1, r2):
-    vidx = scene.tri_vidx[tri_id]
-    p0 = scene.verts[vidx[:, 0]]
-    p1 = scene.verts[vidx[:, 1]]
-    p2 = scene.verts[vidx[:, 2]]
+    vidx = tgather(scene.tri_vidx, tri_id)
+    p0 = tgather(scene.verts, vidx[:, 0])
+    p1 = tgather(scene.verts, vidx[:, 1])
+    p2 = tgather(scene.verts, vidx[:, 2])
     e1 = p1 - p0
     e2 = p2 - p0
     n_tri = normalize(cross(e1, e2))
 
-    flags = scene.tri_flags[tri_id]
+    flags = tgather(scene.tri_flags, tri_id)
     has_n = ((flags & ir.TRI_HAS_NORMALS) != 0)[:, None]
-    n0 = jnp.where(has_n, scene.vnormals[vidx[:, 0]], n_tri)
-    n1 = jnp.where(has_n, scene.vnormals[vidx[:, 1]], n_tri)
-    n2 = jnp.where(has_n, scene.vnormals[vidx[:, 2]], n_tri)
+    n0 = jnp.where(has_n, tgather(scene.vnormals, vidx[:, 0]), n_tri)
+    n1 = jnp.where(has_n, tgather(scene.vnormals, vidx[:, 1]), n_tri)
+    n2 = jnp.where(has_n, tgather(scene.vnormals, vidx[:, 2]), n_tri)
 
     u, v = sample_triangle_uv(r1, r2)
     w = 1.0 - u - v
@@ -62,13 +62,13 @@ def _sample_tri(scene: ir.Scene, tri_id, look_from, r1, r2):
     area = jnp.sqrt(jnp.maximum(length2(cross(e2, e1)), 0.0)) / 2.0
     pdf = 1.0 / jnp.maximum(area, 1e-20)
     G = jnp.abs(dot(hit_n, -wi)) / jnp.maximum(dist2, 1e-20)
-    rad = _emitted_one_sided(scene, scene.tri_mat[tri_id], wi, hit_n)
+    rad = _emitted_one_sided(scene, tgather(scene.tri_mat, tri_id), wi, hit_n)
     return rad, wi, pdf, jnp.sqrt(dist2), G
 
 
 def _sample_sphere_light(scene: ir.Scene, sph_id, look_from, r1, r2):
-    center = scene.sph_center[sph_id]
-    radius = scene.sph_radius[sph_id]
+    center = tgather(scene.sph_center, sph_id)
+    radius = tgather(scene.sph_radius, sph_id)
     to_c = look_from - center
     d2 = length2(to_c)
     inside = d2 <= radius * radius
@@ -97,7 +97,7 @@ def _sample_sphere_light(scene: ir.Scene, sph_id, look_from, r1, r2):
     pdf_cone = 1.0 / (2.0 * jnp.pi * jnp.maximum(1.0 - cos_max, 1e-12))
     pdf_out = pdf_cone * G
     pdf = jnp.where(inside, pdf_in, pdf_out)
-    rad = _emitted_one_sided(scene, scene.sph_mat[sph_id], wi, n)
+    rad = _emitted_one_sided(scene, tgather(scene.sph_mat, sph_id), wi, n)
     return rad, wi, pdf, jnp.sqrt(dist2), G
 
 
@@ -121,8 +121,8 @@ def sample_lights(scene: ir.Scene, look_from, pick_rand, r1, r2) -> LightSample:
     """
     L = scene.n_lights()
     idx = jnp.clip((pick_rand * L).astype(jnp.int32), 0, L - 1)
-    ltype = scene.light_type[idx]
-    lidx = scene.light_idx[idx]
+    ltype = tgather(scene.light_type, idx)
+    lidx = tgather(scene.light_idx, idx)
 
     B = look_from.shape[0]
     rad = jnp.zeros((B, 3))
@@ -173,10 +173,10 @@ def surf_pdf(scene: ir.Scene, prim_type, prim_id, look_from, point_on_light,
 
     if scene.n_tris() > 0:
         tid = jnp.clip(prim_id, 0, scene.n_tris() - 1)
-        vidx = scene.tri_vidx[tid]
-        p0 = scene.verts[vidx[:, 0]]
-        p1 = scene.verts[vidx[:, 1]]
-        p2 = scene.verts[vidx[:, 2]]
+        vidx = tgather(scene.tri_vidx, tid)
+        p0 = tgather(scene.verts, vidx[:, 0])
+        p1 = tgather(scene.verts, vidx[:, 1])
+        p2 = tgather(scene.verts, vidx[:, 2])
         area = jnp.sqrt(jnp.maximum(
             length2(cross(p2 - p0, p1 - p0)), 0.0)) / 2.0
         pdf = jnp.where(prim_type == ir.PRIM_TRI,
@@ -184,8 +184,8 @@ def surf_pdf(scene: ir.Scene, prim_type, prim_id, look_from, point_on_light,
 
     if scene.n_spheres() > 0:
         sid = jnp.clip(prim_id, 0, scene.n_spheres() - 1)
-        center = scene.sph_center[sid]
-        radius = scene.sph_radius[sid]
+        center = tgather(scene.sph_center, sid)
+        radius = tgather(scene.sph_radius, sid)
         d2 = length2(look_from - center)
         inside = d2 <= radius * radius
         sa = 4.0 * jnp.pi * radius * radius

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from vimg_tpu.core.math import dot, dotk, normalize, onb_to_world
+from vimg_tpu.core.math import dot, dotk, normalize, onb_to_world, tgather
 from vimg_tpu.core.warps import sample_hemisphere_cosine
 from vimg_tpu.geometry.intersect import HitInfo
 from vimg_tpu.materials import disney
@@ -37,16 +37,16 @@ class ScatterSample:
 
 def is_delta(scene: ir.Scene, mat_id):
     """Delta (un-NEE-able) materials: smooth dielectric only."""
-    return scene.mat_type[mat_id] == ir.MAT_DIELECTRIC
+    return tgather(scene.mat_type, mat_id) == ir.MAT_DIELECTRIC
 
 
 def is_emissive(scene: ir.Scene, mat_id):
-    return scene.mat_type[mat_id] == ir.MAT_DIFFUSE_LIGHT
+    return tgather(scene.mat_type, mat_id) == ir.MAT_DIFFUSE_LIGHT
 
 
 def emitted(scene: ir.Scene, mat_id, ray_dir, n_s):
     """One-sided emission (reference diffuse_light.h:30-38)."""
-    emit = scene.mat_base[mat_id]
+    emit = tgather(scene.mat_base, mat_id)
     front = dot(n_s, ray_dir) < 0.0
     on = is_emissive(scene, mat_id) & front
     return jnp.where(on[..., None], emit, 0.0)
@@ -63,12 +63,12 @@ def _principled_frame(hit: HitInfo, dir_in):
 def _principled_params(scene: ir.Scene, mat_id, hit: HitInfo):
     """Gather per-ray principled scalars; metallic/roughness factors are
     multiplied by the metal-rough texture when present."""
-    sc = scene.mat_scalars[mat_id]          # (B, N_MAT_SCALARS)
+    sc = tgather(scene.mat_scalars, mat_id)  # (B, N_MAT_SCALARS)
     metallic = sc[..., ir.MS_METALLIC]
     roughness = sc[..., ir.MS_ROUGHNESS]
     if scene.has_image_tex:
         from vimg_tpu.textures.texture import metal_rough_at_uv
-        m_r = metal_rough_at_uv(scene, scene.mat_tex[mat_id, 2], hit.mr_uv)
+        m_r = metal_rough_at_uv(scene, tgather(scene.mat_tex, mat_id)[..., 2], hit.mr_uv)
         metallic = metallic * m_r[..., 0]
         roughness = roughness * m_r[..., 1]
     return dict(
@@ -243,7 +243,7 @@ def sample_mat(scene: ir.Scene, mat_id, wi, hit: HitInfo, rands,
 
     ``rands``: dict with keys 'lobe', 'u', 'v', 'fresnel' of (B,) floats.
     """
-    mt = scene.mat_type[mat_id]
+    mt = tgather(scene.mat_type, mat_id)
     B = mat_id.shape[0]
     wo = jnp.zeros((B, 3))
     eta = jnp.zeros((B,))
@@ -284,7 +284,7 @@ def sample_mat(scene: ir.Scene, mat_id, wi, hit: HitInfo, rands,
 
 def _dielectric_sample(scene, mat_id, wi, hit, rands):
     """Smooth glass with Schlick reflectance (reference dielectric.cpp)."""
-    ior = scene.mat_scalars[mat_id, ir.MS_IOR]
+    ior = tgather(scene.mat_scalars, mat_id)[..., ir.MS_IOR]
     front = dot(wi, hit.n_s) < 0.0
     n = jnp.where(front[..., None], hit.n_s, -hit.n_s)
     cos_i = -dot(wi, n)
@@ -314,7 +314,7 @@ def eval_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize,
              cone_width=None):
     """(f, pdf) pair (reference Material::eval_pdf_pair). Delta materials
     return (0, 0)."""
-    mt = scene.mat_type[mat_id]
+    mt = tgather(scene.mat_type, mat_id)
     B = mat_id.shape[0]
     f = jnp.zeros((B, 3))
     pdf = jnp.zeros((B,))
@@ -340,7 +340,7 @@ def eval_div_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize,
                  cone_width=None):
     """f/pdf with analytic cancellation where the reference has it
     (Lambertian -> albedo, dielectric -> 1)."""
-    mt = scene.mat_type[mat_id]
+    mt = tgather(scene.mat_type, mat_id)
     B = mat_id.shape[0]
     out = jnp.zeros((B, 3))
     base_col = base_color_at_hit(scene, mat_id, hit, cone_width, wi)

@@ -88,9 +88,16 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
     n_lights = scene.n_lights()
 
     def refill(s, accum, finished):
-        """Retire finished lanes (scatter-add to film) and pull new work."""
+        """Retire finished lanes (scatter-add to film) and pull new work.
+
+        The film is (3, H*W): per-channel 1-D scatter-adds. Profiling showed
+        a (B,3)->(HW,3) scatter inside the while_loop gets a transposed
+        T(4,128) layout costing 42 ms/superstep; three flat scatters cost
+        ~1 ms total."""
         contrib = jnp.where(finished[:, None], s["result"], 0.0)
-        accum = accum.at[s["pix"]].add(contrib)
+        accum = accum.at[0, s["pix"]].add(contrib[:, 0])
+        accum = accum.at[1, s["pix"]].add(contrib[:, 1])
+        accum = accum.at[2, s["pix"]].add(contrib[:, 2])
         n_done = s["n_done"] + jnp.sum(finished, dtype=jnp.int32)
 
         free = finished | ~s["alive"]
@@ -310,7 +317,7 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
 
     state = init_state(B)
     state["samp_off"] = jnp.int32(sample_offset)
-    accum = jnp.zeros((W * H, 3), jnp.float32)
+    accum = jnp.zeros((3, W * H), jnp.float32)
     run = make_run(scene, settings, tracer, total, B)
 
     t0 = time.time()
@@ -325,7 +332,7 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
               f"{total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s, "
               f"{rays / max(dt, 1e-9) / 1e6:.2f} Mrays/s "
               f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
-    img = np.asarray(accum).reshape(H, W, 3) / spp
+    img = np.asarray(accum).T.reshape(H, W, 3) / spp
     if return_stats:
         return img, dict(supersteps=int(it),
                          segments=float(state["n_segments"]),

@@ -15,28 +15,29 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from vimg_tpu.core.math import tgather
 from vimg_tpu.scene import ir
 
 
 def _checker_color(scene: ir.Scene, tex_id, uv):
-    wh = scene.tex_wh[tex_id]
+    wh = tgather(scene.tex_wh, tex_id)
     u_board = jnp.floor(uv[..., 0] * wh[..., 0]).astype(jnp.int32)
     v_board = jnp.floor(uv[..., 1] * wh[..., 1]).astype(jnp.int32)
     even = ((u_board + v_board) % 2) == 0
-    cols = scene.tex_cols[tex_id]            # (B, 2, 3)
+    cols = tgather(scene.tex_cols, tex_id)   # (B, 2, 3)
     return jnp.where(even[..., None], cols[..., 0, :], cols[..., 1, :])
 
 
 def base_color_at_hit(scene: ir.Scene, mat_id, hit, cone_width=None,
                       ray_dir=None):
     """Base color/albedo for each ray's material at its hit point."""
-    col = scene.mat_base[mat_id]
-    tex_id = scene.mat_tex[mat_id, 0]
+    col = tgather(scene.mat_base, mat_id)
+    tex_id = tgather(scene.mat_tex, mat_id)[..., 0]
     has_tex = tex_id >= 0
     safe_tex = jnp.maximum(tex_id, 0)
-    ttype = scene.tex_type[safe_tex]
+    ttype = tgather(scene.tex_type, safe_tex)
 
-    const_col = scene.tex_cols[safe_tex, 0, :]
+    const_col = tgather(scene.tex_cols, safe_tex)[..., 0, :]
     col = jnp.where((has_tex & (ttype == ir.TEX_CONST))[..., None],
                     const_col, col)
     checker = _checker_color(scene, safe_tex, hit.uv)
