@@ -39,4 +39,10 @@ def make_tracer(scene: ir.Scene, force=None):
         from vimg_tpu.geometry.soa_intersect import SoATracer
         return SoATracer(scene)
     from vimg_tpu.geometry.bvh import BVHTracer
+    import jax
+    if jax.default_backend() not in ("cpu",):
+        import warnings
+        warnings.warn(
+            "BVH traversal on TPU is currently gather-bound (~0.01 Mrays/s);"
+            " mesh scenes render correctly but slowly. See ROADMAP.md.")
     return BVHTracer(scene, builder="sweep" if force == "sweep" else "auto")
