@@ -44,6 +44,11 @@ from vimg_tpu.scene import ir
 
 _dt = jax.lax.stop_gradient
 
+# lane-count sweep on v5e (disney_spheres, 32spp): per-segment cost grows
+# superlinearly with lane count (scatter/cumsum machinery): 128k lanes ->
+# 5.3 Mpaths/s, 512k -> 4.6, 1M -> 3.9, 2M -> 2.7. 128k is the sweet spot.
+MAX_LANES = 1 << 17
+
 
 def init_state(B):
     # NB: every field gets its OWN buffer (donation forbids aliased args)
@@ -313,7 +318,7 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
     tracer = tracer or make_tracer(scene)
     W, H, spp = settings.width, settings.height, settings.spp
     total = W * H * spp
-    B = min(settings.batch_size, max(total // 2, 1024))
+    B = min(settings.batch_size, MAX_LANES, max(total // 2, 1024))
 
     state = init_state(B)
     state["samp_off"] = jnp.int32(sample_offset)
