@@ -137,3 +137,104 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__
         __graft_entry__.dryrun_multichip(4)
+
+
+def _closeup_scene():
+    """Sphere filling the whole frame: no silhouette edges, so the
+    interior-derivative (detached-sampling) camera gradient matches FD.
+    (With silhouettes in frame, FD additionally sees the boundary term that
+    detached AD by construction omits.)"""
+    b = SceneBuilder()
+    red = b.add_material(ir.MAT_LAMBERTIAN, base=(0.8, 0.2, 0.2))
+    light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(5.0, 5.0, 5.0))
+    b.add_sphere((0, 0, 0), 1.0, red)
+    b.add_sphere((0, 3.0, 0), 1.0, light)
+    cam = Camera.make(look_at([0, 0, 1.6], [0, 0, 0], [0, 1, 0]), 16, 16, 40.0)
+    scene = b.build(camera=cam)
+    settings = ir.RenderSettings(width=16, height=16, spp=16, max_depth=6,
+                                 integrator="mis", batch_size=16 * 16 * 16)
+    return scene, settings
+
+
+class TestCameraGradients:
+    def test_vfov_gradient_matches_fd(self):
+        """North star: pixel gradients flow to the camera. FD check on vfov
+        (reference camera being differentiated: src/tl_camera.cpp:25-53)."""
+        scene, settings = _closeup_scene()
+        tracer = make_tracer(scene)
+        B = 16 * 16
+        pix = jnp.arange(B, dtype=jnp.int32)
+        samp = jnp.zeros((B,), jnp.int32)
+        target = jnp.zeros((B, 3))
+
+        def loss(params):
+            s = apply_params(scene, params)
+            return radiance_loss_fn(s, settings, tracer, pix, samp, target,
+                                    bounded_depth=3, integrator="mis")
+
+        params = get_params(scene)
+        assert "cam_vfov" in params and "cam2world" in params
+        g = jax.grad(loss)(params)
+        ad = float(g["cam_vfov"])
+        assert np.isfinite(ad) and ad != 0.0
+        eps = 1e-2
+        p_plus = dict(params, cam_vfov=params["cam_vfov"] + eps)
+        p_minus = dict(params, cam_vfov=params["cam_vfov"] - eps)
+        fd = (float(loss(p_plus)) - float(loss(p_minus))) / (2 * eps)
+        assert abs(fd - ad) < 0.12 * max(abs(fd), abs(ad), 1e-4), (fd, ad)
+
+    def test_pose_gradient_finite_nonzero(self):
+        scene, settings = _simple_scene()
+        tracer = make_tracer(scene)
+        B = 256
+        pix = jnp.arange(B, dtype=jnp.int32)
+        samp = jnp.zeros((B,), jnp.int32)
+        target = jnp.zeros((B, 3))
+
+        def loss(params):
+            s = apply_params(scene, params)
+            return radiance_loss_fn(s, settings, tracer, pix, samp, target,
+                                    bounded_depth=2, integrator="mis")
+
+        g = jax.grad(loss)(get_params(scene))
+        gc = np.asarray(g["cam2world"])
+        assert np.all(np.isfinite(gc)) and np.any(gc != 0.0)
+
+
+class TestDistributedSampling:
+    def test_split_spp_disjoint_cover(self):
+        from vimg_tpu.parallel.distributed import split_spp
+        for spp, nproc in [(512, 4), (7, 3), (5, 8), (1, 1), (16, 16)]:
+            slabs = split_spp(spp, nproc)
+            ids = []
+            for count, off in slabs:
+                ids.extend(range(off, off + count))
+            assert sorted(ids) == list(range(spp)), (spp, nproc, slabs)
+
+    def test_sharded_sample_offset_combines(self):
+        """Two disjoint sample slabs must equal one render at the full spp
+        (this is the multi-host partitioning contract, distributed.py)."""
+        import dataclasses
+        from vimg_tpu.parallel.sharding import make_mesh, render_sharded
+
+        scene, settings = _simple_scene(spp=4)
+        tracer = make_tracer(scene)
+        mesh = make_mesh()
+        full = render_sharded(scene, settings, tracer, mesh=mesh)
+        half = dataclasses.replace(settings, spp=2)
+        a = render_sharded(scene, half, tracer, mesh=mesh, sample_offset=0)
+        b = render_sharded(scene, half, tracer, mesh=mesh, sample_offset=2)
+        combined = (a * 2 + b * 2) / 4
+        assert np.allclose(combined, full, atol=1e-5)
+
+    def test_sharded_offset_streams_differ(self):
+        import dataclasses
+        from vimg_tpu.parallel.sharding import make_mesh, render_sharded
+
+        scene, settings = _simple_scene(spp=2)
+        tracer = make_tracer(scene)
+        mesh = make_mesh()
+        one = dataclasses.replace(settings, spp=1)
+        a = render_sharded(scene, one, tracer, mesh=mesh, sample_offset=0)
+        b = render_sharded(scene, one, tracer, mesh=mesh, sample_offset=1)
+        assert not np.allclose(a, b)

@@ -7,8 +7,9 @@ pdf divisors, MIS weights and RR decisions are stop_gradient'ed inside the
 integrators (see vimg_tpu/render/integrators.py). The bounce loop is a
 bounded ``lax.scan``, which reverse-mode AD traverses.
 
-Trainable parameter pytree (v1): material base colors + scalar tables,
-background color, env radiance scale, env map texels, camera vfov.
+Trainable parameter pytree: material base colors + scalar tables,
+background color, env radiance scale, env map texels, and the camera
+(vfov, cam2world pose, aperture radius, focal distance).
 """
 from __future__ import annotations
 
@@ -27,13 +28,31 @@ from vimg_tpu.scene import ir
 def get_params(scene: ir.Scene) -> Dict[str, Any]:
     p = dict(mat_base=scene.mat_base, mat_scalars=scene.mat_scalars,
              bg_color=scene.bg_color, tex_cols=scene.tex_cols,
-             env_scale=scene.env_scale)
+             env_scale=scene.env_scale,
+             # camera parameters (north star: pixel gradients flow to the
+             # camera; reference camera being differentiated:
+             # /root/reference/src/tl_camera.cpp:25-53)
+             cam_vfov=scene.camera.vfov_deg,
+             cam2world=scene.camera.cam2world,
+             cam_aperture=scene.camera.aperture_radius,
+             cam_focal=scene.camera.focal_dist)
     if scene.has_envmap:
         p["env_mips"] = scene.env_mips
     return p
 
 
+_CAMERA_KEYS = dict(cam_vfov="vfov_deg", cam2world="cam2world",
+                    cam_aperture="aperture_radius", cam_focal="focal_dist")
+
+
 def apply_params(scene: ir.Scene, params) -> ir.Scene:
+    import dataclasses
+    params = dict(params)
+    cam_fields = {_CAMERA_KEYS[k]: params.pop(k)
+                  for k in list(params) if k in _CAMERA_KEYS}
+    if cam_fields:
+        scene = scene.replace(
+            camera=dataclasses.replace(scene.camera, **cam_fields))
     return scene.replace(**params)
 
 

@@ -108,7 +108,10 @@ def sphere_intersect(ro, rd, center, radius, minT, maxT):
     has_root = disc >= 0.0
 
     sign = jnp.where(b_prime > 0, 1.0, -1.0)
-    q = b_prime + sign * jnp.sqrt(a * jnp.maximum(disc, 0.0))
+    # double-where guard: sqrt'(0) = inf would leak NaN into gradients of
+    # masked miss lanes (0 * inf); clamp the argument away from 0 on them
+    disc_safe = jnp.where(has_root, jnp.maximum(a * disc, 1e-30), 1.0)
+    q = b_prime + sign * jnp.sqrt(disc_safe)
     # q == 0 (grazing through origin-side) guarded
     x0 = c / jnp.where(q == 0.0, 1.0, q)
     x1 = q / a

@@ -65,12 +65,17 @@ def _trace_impl(tri_c, sph_c, ro, rd, minT, maxT, any_hit):
                 (float(tri_c[i, k]) for k in range(12))
             ro_n = rox * nx + roy * ny + roz * nz
             rd_n = rdx * nx + rdy * ny + rdz * nz
-            t = (d0 - ro_n) / jnp.where(rd_n == 0.0, 1e-30, rd_n)
+            # keep every intermediate FINITE: a division by ~0 yields inf,
+            # and any inf operand poisons reverse-mode AD with 0*inf = NaN
+            # even on lanes the forward result masks out (grads w.r.t. the
+            # camera flow through t)
+            parallel = jnp.abs(rd_n) < 1e-22
+            t = (d0 - ro_n) / jnp.where(parallel, 1.0, rd_n)
             u = (rox * m1x + roy * m1y + roz * m1z - c1
                  + t * (rdx * m1x + rdy * m1y + rdz * m1z))
             v = (rox * m2x + roy * m2y + roz * m2z - c2
                  + t * (rdx * m2x + rdy * m2y + rdz * m2z))
-            hit = ((rd_n != 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            hit = (~parallel & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                    & (t >= minT) & (t < best_t))
             best_id = jnp.where(hit, i, best_id)
             best_u = jnp.where(hit, u, best_u)
@@ -89,17 +94,23 @@ def _trace_impl(tri_c, sph_c, ro, rd, minT, maxT, any_hit):
             cc = ro2 - 2.0 * ro_c + (cx * cx + cy * cy + cz * cz) - r2
             disc4 = b_prime * b_prime - rd2 * cc
             has = disc4 >= 0.0
-            sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+            # double-where guard: sqrt'(0)=inf leaks NaN into grads of
+            # masked miss lanes; clamp the argument on them
+            sq = jnp.sqrt(jnp.where(has, jnp.maximum(disc4, 1e-30), 1.0))
             sign = jnp.where(b_prime > 0.0, 1.0, -1.0)
             q = b_prime + sign * sq
-            x0 = cc / jnp.where(q == 0.0, 1e-30, q)
-            x1 = q / rd2
+            # finite-safe divisions (see triangle loop note): degenerate
+            # lanes are excluded from `hit` instead of producing inf/NaN
+            q_bad = jnp.abs(q) < 1e-30
+            rd2_bad = rd2 < 1e-30
+            x0 = jnp.where(q_bad, -1.0, cc / jnp.where(q_bad, 1.0, q))
+            x1 = jnp.where(rd2_bad, -1.0, q / jnp.where(rd2_bad, 1.0, rd2))
             t0 = jnp.minimum(x0, x1)
             t1 = jnp.maximum(x0, x1)
             t0_ok = (t0 >= minT) & (t0 < best_t)
             t1_ok = (t1 >= minT) & (t1 < best_t)
             t = jnp.where(t0_ok, t0, t1)
-            hit = has & (t0_ok | t1_ok)
+            hit = has & ~rd2_bad & (t0_ok | t1_ok)
             best_id = jnp.where(hit, nt + j, best_id)
             best_t = jnp.where(hit, t, best_t)
 

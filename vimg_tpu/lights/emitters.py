@@ -85,7 +85,11 @@ def _sample_sphere_light(scene: ir.Scene, sph_id, look_from, r1, r2):
     unit = sample_sphere(r1, r2)
     p_in = unit * radius[:, None] + center
 
-    hit_p = jnp.where(inside[:, None], p_in, p_out)
+    # the sampled point is part of the sampling WARP: detached estimator
+    # semantics hold it fixed (otherwise grads w.r.t. look_from would flow
+    # through the cone construction, whose sqrt(0) edge cases also poison
+    # reverse-mode AD); G below stays differentiable via look_from only
+    hit_p = jax.lax.stop_gradient(jnp.where(inside[:, None], p_in, p_out))
     n = normalize(hit_p - center)
     dvec = hit_p - look_from
     dist2 = length2(dvec)

@@ -48,10 +48,22 @@ def global_mesh(axis="rays"):
     return Mesh(np.asarray(jax.devices()), (axis,))
 
 
+def split_spp(spp, nproc):
+    """Partition ``spp`` samples into ``nproc`` disjoint (count, offset)
+    slabs. Counts differ by at most 1 and cover spp exactly; each process's
+    sample indices are [offset, offset+count) so RNG streams are disjoint
+    (same scheme as render/checkpoint.py slabs)."""
+    base, rem = divmod(spp, nproc)
+    counts = [base + (1 if p < rem else 0) for p in range(nproc)]
+    offsets = [p * base + min(p, rem) for p in range(nproc)]
+    return list(zip(counts, offsets))
+
+
 def render_distributed(scene, settings, tracer=None, integrator=None):
-    """Full-frame render across all hosts: each process traces its slice of
-    the (pixel, sample) work, then the films are psum'd. Every host returns
-    the full image."""
+    """Full-frame render across all hosts: each process traces a DISJOINT
+    slab of the per-pixel sample range (distinct RNG streams via
+    sample_offset), then the sample-weighted films are summed across hosts.
+    Every host returns the full image."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -66,14 +78,19 @@ def render_distributed(scene, settings, tracer=None, integrator=None):
         return render_sharded(scene, settings, tracer, mesh=global_mesh(),
                               integrator=integrator)
 
-    # split samples across processes; per-process local mesh render, then
-    # a cross-host sum of the partial films
-    spp_local = max(settings.spp // nproc, 1)
-    local = dataclasses.replace(settings, spp=spp_local)
+    # disjoint sample slab per process; per-process local-mesh render, then
+    # a cross-host sum of the sample-weighted partial films
+    spp_local, sample_offset = split_spp(settings.spp, nproc)[pid]
     local_mesh = Mesh(np.asarray(jax.local_devices()), ("rays",))
-    img = render_sharded(scene, local, tracer, mesh=local_mesh,
-                         integrator=integrator)
+    if spp_local > 0:
+        local = dataclasses.replace(settings, spp=spp_local)
+        img = render_sharded(scene, local, tracer, mesh=local_mesh,
+                             integrator=integrator,
+                             sample_offset=sample_offset)
+        weighted = np.asarray(img) * spp_local
+    else:  # more processes than samples: this host contributes nothing
+        weighted = np.zeros((settings.height, settings.width, 3), np.float32)
 
     from jax.experimental import multihost_utils
-    total = multihost_utils.process_allgather(jnp.asarray(img))
-    return np.asarray(total).sum(axis=0) / nproc
+    total = multihost_utils.process_allgather(jnp.asarray(weighted))
+    return np.asarray(total).sum(axis=0) / settings.spp

@@ -45,8 +45,13 @@ def sharded_trace_fn(scene_template: ir.Scene, settings: ir.RenderSettings,
 
 
 def render_sharded(scene: ir.Scene, settings: ir.RenderSettings, tracer,
-                   mesh=None, integrator=None):
-    """Full-frame render with rays sharded across all devices."""
+                   mesh=None, integrator=None, sample_offset=0):
+    """Full-frame render with rays sharded across all devices.
+
+    ``sample_offset`` shifts the per-pixel sample indices so disjoint slabs
+    of a larger render (checkpoint slabs, per-process shards) draw disjoint
+    RNG streams — radiance of (pixel, sample) depends only on that pair.
+    """
     mesh = mesh or make_mesh()
     n_dev = mesh.size
     W, H, spp = settings.width, settings.height, settings.spp
@@ -67,7 +72,7 @@ def render_sharded(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         valid = k < total
         ks = jnp.where(valid, k, 0)
         pix = ks // spp
-        samp = ks % spp
+        samp = ks % spp + jnp.int32(sample_offset)
         col = trace(scene, pix, samp)
         accum = accumulate(accum, pix, col, valid)
     return np.asarray(accum).reshape(H, W, 3) / spp

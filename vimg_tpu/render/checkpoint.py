@@ -18,11 +18,12 @@ import numpy as np
 def save_checkpoint(path, accum, spp_done, meta=None):
     """Atomic write of the accumulation state."""
     d = os.path.dirname(os.path.abspath(path)) or "."
-    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp")
+    # suffix ends in .npz so np.savez writes INTO tmp (no second file to leak)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".ckpt.tmp.npz")
     os.close(fd)
     np.savez(tmp, accum=np.asarray(accum), spp_done=np.int64(spp_done),
              **(meta or {}))
-    os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path):

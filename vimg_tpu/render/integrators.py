@@ -261,9 +261,13 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             pick, lr1, lr2, _rr = rng.uniform4(pix, samp, d,
                                                Draw.LIGHT_SAMPLE)
             ls = emitters.sample_lights(scene, hi.p, pick, lr1, lr2)
+            # detached estimator: the sampling warp (wi), pdf divisor and
+            # MIS weights are detached; the geometric term G stays
+            # differentiable — it is part of the integrand (light falloff
+            # w.r.t. the hit point), not of the sampling density
             ls = emitters.LightSample(radiance=ls.radiance, wi=_dt(ls.wi),
                                       pdf=_dt(ls.pdf), dist=_dt(ls.dist),
-                                      G=_dt(ls.G))
+                                      G=ls.G)
             do_nee = active & ~mat_delta & (ls.pdf != 0.0)
 
             shadow_max = jnp.where(jnp.isfinite(ls.dist),
@@ -273,7 +277,7 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
                                     s["non_spec"], cone_width=nee_cone_w)
             ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
-            w = _balance(ls.pdf, _dt(mpdf) * ls.G)
+            w = _dt(_balance(ls.pdf, _dt(mpdf) * ls.G))
             contrib = (tp * f * ls.radiance
                        * (w * ls.G / jnp.maximum(ls.pdf, 1e-20))[..., None])
             contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)

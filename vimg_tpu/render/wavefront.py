@@ -87,8 +87,15 @@ def init_state(B):
 
 
 def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
-                   total_paths: int):
-    """Returns jitted superstep(state, accum) -> (state, accum)."""
+                   total_paths: int, ablate=frozenset()):
+    """Returns jitted superstep(state, accum) -> (state, accum).
+
+    ``ablate`` is a perf-diagnosis hook (tools/ablate_superstep.py): a set of
+    stage names whose work is replaced by cheap stand-ins so on-chip timing
+    isolates each stage's cost. Production callers leave it empty. Keys:
+    film, cumsum, nee, shadow, beval, bsample, trace, hitinfo.
+    """
+    ab = frozenset(ablate)
     spp = settings.spp
     n_lights = scene.n_lights()
 
@@ -100,13 +107,19 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         T(4,128) layout costing 42 ms/superstep; three flat scatters cost
         ~1 ms total."""
         contrib = jnp.where(finished[:, None], s["result"], 0.0)
-        accum = accum.at[0, s["pix"]].add(contrib[:, 0])
-        accum = accum.at[1, s["pix"]].add(contrib[:, 1])
-        accum = accum.at[2, s["pix"]].add(contrib[:, 2])
+        if "film" in ab:   # keep contrib alive but skip the scatters
+            accum = accum + jnp.sum(contrib) * 1e-30
+        else:
+            accum = accum.at[0, s["pix"]].add(contrib[:, 0])
+            accum = accum.at[1, s["pix"]].add(contrib[:, 1])
+            accum = accum.at[2, s["pix"]].add(contrib[:, 2])
         n_done = s["n_done"] + jnp.sum(finished, dtype=jnp.int32)
 
         free = finished | ~s["alive"]
-        slot = jnp.cumsum(free.astype(jnp.int32)) - 1
+        if "cumsum" in ab:  # static slot assignment (skips work; perf only)
+            slot = jnp.arange(free.shape[0], dtype=jnp.int32)
+        else:
+            slot = jnp.cumsum(free.astype(jnp.int32)) - 1
         new_k = s["next_work"] + slot
         take = free & (new_k < total_paths)
         next_work = s["next_work"] + jnp.sum(take, dtype=jnp.int32)
@@ -149,8 +162,28 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         s = dict(s, n_segments=s["n_segments"] + n_alive)
 
         # ---- 1. trace pending rays ------------------------------------
-        hr = tracer.closest(scene, s["ro"], s["rd"], minT, infT)
-        hi = intersect.hit_info(scene, s["ro"], s["rd"], hr)
+        if "trace" in ab:
+            z1 = s["cone_w"] * 0.0
+            hr = intersect.HitResult(
+                t=1.0 + z1 + s["rd"][:, 0] * 1e-12,
+                prim_type=jnp.full((B,), ir.PRIM_SPHERE, jnp.int32),
+                prim_id=jnp.zeros((B,), jnp.int32),
+                u=0.3 + z1, v=0.3 + z1)
+        else:
+            hr = tracer.closest(scene, s["ro"], s["rd"], minT, infT)
+        if "hitinfo" in ab:
+            n = -s["rd"]
+            hi = intersect.HitInfo(
+                mat_id=jnp.zeros((B,), jnp.int32),
+                p=s["ro"] + s["rd"] * hr.t[:, None], n_s=n, n_g=n,
+                uv=n[:, :2] * 0.0, mr_uv=n[:, :2] * 0.0,
+                tangent=jnp.stack([n[:, 1], -n[:, 0], n[:, 2] * 0.0], -1),
+                bitangent=jnp.stack([n[:, 2] * 0.0, n[:, 2], -n[:, 1]], -1),
+                prim_area=1.0 + hr.t * 0.0, uv_area=1e-6 + hr.t * 0.0,
+                curvature=hr.t * 0.0,
+                light_id=-jnp.ones((B,), jnp.int32))
+        else:
+            hi = intersect.hit_info(scene, s["ro"], s["rd"], hr)
         found = alive & hr.hit
         missed = alive & ~hr.hit
 
@@ -205,23 +238,32 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             nee_cone_w, nee_cone_s = s["cone_w"], s["cone_s"]
 
         mat_delta = bsdf.is_delta(scene, hi.mat_id)
-        if n_lights > 0:
+        if n_lights > 0 and "nee" not in ab:
             pick, lr1, lr2, _ = rng.uniform4(s["pix"], s["samp"], s["d"],
                                              Draw.LIGHT_SAMPLE)
             ls = emitters.sample_lights(scene, hi.p, pick, lr1, lr2)
+            # G stays differentiable: part of the integrand, not the
+            # sampling density (see integrators.py NEE note)
             ls = emitters.LightSample(radiance=ls.radiance, wi=_dt(ls.wi),
                                       pdf=_dt(ls.pdf), dist=_dt(ls.dist),
-                                      G=_dt(ls.G))
+                                      G=ls.G)
             do_nee = cont & ~mat_delta & (ls.pdf != 0.0)
             shadow_max = jnp.where(jnp.isfinite(ls.dist),
                                    ls.dist - SHADOW_EPS, infT)
-            occl = tracer.occluded(scene, hi.p, ls.wi, minT, shadow_max)
+            if "shadow" in ab:
+                occl = (ls.wi[:, 0] > 2.0)   # never true, depends on inputs
+            else:
+                occl = tracer.occluded(scene, hi.p, ls.wi, minT, shadow_max)
             s = dict(s, n_shadow=s["n_shadow"]
                      + jnp.sum(do_nee, dtype=jnp.float32))
-            f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
-                                    s["non_spec"], cone_width=nee_cone_w)
+            if "beval" in ab:
+                mpdf = jnp.abs(dot(ls.wi, hi.n_s)) * (1.0 / jnp.pi)
+                f = hi.n_s * 0.0 + mpdf[:, None] * 0.5
+            else:
+                f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
+                                        s["non_spec"], cone_width=nee_cone_w)
             ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
-            w = _balance(ls.pdf, _dt(mpdf) * ls.G)
+            w = _dt(_balance(ls.pdf, _dt(mpdf) * ls.G))
             contrib = (throughput * f * ls.radiance
                        * (w * ls.G / jnp.maximum(ls.pdf, 1e-20))[:, None])
             contrib = jnp.where(jnp.isnan(contrib), 0.0, contrib)
@@ -231,8 +273,16 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         b1, b2, b3, b4 = rng.uniform4(s["pix"], s["samp"], s["d"],
                                       Draw.BSDF_SAMPLE)
         rands = {"lobe": b1, "u": b2, "v": b3, "fresnel": b4}
-        sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
-                             s["non_spec"])
+        if "bsample" in ab:
+            from vimg_tpu.core.math import onb_to_world
+            from vimg_tpu.core.warps import sample_hemisphere_cosine
+            d = onb_to_world(hi.tangent, hi.bitangent, hi.n_s,
+                             sample_hemisphere_cosine(b2, b3))
+            sc = bsdf.ScatterSample(wo=d, eta=b1 * 0.0,
+                                    is_specular=b1 > 2.0, valid=b1 < 2.0)
+        else:
+            sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
+                                 s["non_spec"])
         sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),
                                 is_specular=sc.is_specular, valid=sc.valid)
         absorbed = cont & ~sc.valid
@@ -251,8 +301,12 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         eta_scale = jnp.where(refr, s["eta_scale"] / (sc.eta * sc.eta),
                               s["eta_scale"])
 
-        f2, pdf2 = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                 non_spec, cone_width=cone_w)
+        if "beval" in ab:
+            pdf2 = jnp.abs(dot(sc.wo, hi.n_s)) * (1.0 / jnp.pi)
+            f2 = hi.n_s * 0.0 + pdf2[:, None] * 0.5
+        else:
+            f2, pdf2 = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
+                                     non_spec, cone_width=cone_w)
         nan_pdf = jnp.isnan(pdf2)
         terminated = terminated | (cont & nan_pdf)
         cont = cont & ~nan_pdf
