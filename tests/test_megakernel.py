@@ -1,0 +1,128 @@
+"""Pallas megakernel correctness (CPU interpret mode; see conftest.py).
+
+The megakernel implements the SAME estimator as the wavefront/loop MIS
+integrators (identical counter-RNG streams per (pixel, sample, bounce,
+draw)). On scenes without epsilon races the outputs agree per-sample to
+float rounding; on large-scale scenes (cornell: 555-unit box vs MIN_T 1e-4)
+self-intersection/shadow epsilon races resolve per fp-rounding of the
+specific compiled graph, so renderers are compared statistically there and
+against the reference goldens (the races are unbiased — each flip swaps one
+valid sample for another; tested by spp-decay in round-2 notes).
+"""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from vimg_tpu.core.math import look_at
+from vimg_tpu.geometry.trace import make_tracer
+from vimg_tpu.render.camera import Camera
+from vimg_tpu.render.mega import render_megakernel, supports_megakernel
+from vimg_tpu.render.wavefront import render_wavefront
+from vimg_tpu.scene import ir
+from vimg_tpu.scene.json_loader import SceneBuilder, load_json_scene
+
+SCENES = "/root/reference/scenes"
+
+
+def _simple_scene(spp=8):
+    b = SceneBuilder()
+    red = b.add_material(ir.MAT_LAMBERTIAN, base=(0.8, 0.2, 0.2))
+    glass = b.add_material(ir.MAT_DIELECTRIC, base=(1, 1, 1),
+                           scalars={ir.MS_IOR: 1.5})
+    light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(5.0, 5.0, 5.0))
+    b.add_sphere((0, 0, 0), 1.0, red)
+    b.add_sphere((2.2, 0, 0), 1.0, glass)
+    b.add_sphere((0, 3.0, 0), 1.0, light)
+    cam = Camera.make(look_at([0, 0, 6], [0.7, 0, 0], [0, 1, 0]), 32, 24,
+                      45.0)
+    scene = b.build(camera=cam)
+    settings = ir.RenderSettings(width=32, height=24, spp=spp, max_depth=64,
+                                 integrator="mis", batch_size=32 * 24 * spp)
+    return scene, settings
+
+
+class TestSupports:
+    def test_simple_supported(self):
+        scene, st = _simple_scene()
+        assert supports_megakernel(scene, st)
+
+    def test_reference_scenes_supported(self):
+        for name in ("disney_spheres", "cornell_box_spheres"):
+            p = os.path.join(SCENES, f"{name}.json")
+            if not os.path.exists(p):
+                pytest.skip("reference scenes unavailable")
+            scene, st = load_json_scene(p)
+            assert supports_megakernel(scene, st), name
+
+    def test_non_mis_rejected(self):
+        scene, st = _simple_scene()
+        st = dataclasses.replace(st, integrator="material")
+        assert not supports_megakernel(scene, st)
+
+    def test_mesh_scene_rejected(self):
+        scene, st = _simple_scene()
+        # >64 prims -> BVH territory
+        scene = scene.replace(sph_center=np.zeros((65, 3), np.float32),
+                              sph_radius=np.ones((65,), np.float32),
+                              sph_mat=np.zeros((65,), np.int32))
+        assert not supports_megakernel(scene, st)
+
+
+class TestParity:
+    def test_exact_parity_small_scene(self):
+        """No epsilon races at unit scene scale: per-sample identical paths,
+        image equal to float rounding."""
+        scene, st = _simple_scene(spp=8)
+        ref = render_wavefront(scene, st, tracer=make_tracer(scene))
+        img = render_megakernel(scene, st)
+        assert np.abs(ref - img).max() < 1e-5
+
+    def test_statistical_parity_cornell(self):
+        """Large-scale scene: epsilon races flip individual samples between
+        compiled graphs; means must still agree."""
+        p = os.path.join(SCENES, "cornell_box_spheres.json")
+        if not os.path.exists(p):
+            pytest.skip("reference scenes unavailable")
+        scene, st = load_json_scene(p)
+        w = h = 48
+        scene = scene.replace(camera=dataclasses.replace(
+            scene.camera, width=w, height=h))
+        st = dataclasses.replace(st, width=w, height=h, spp=48,
+                                 batch_size=w * h * 48)
+        ref = render_wavefront(scene, st, tracer=make_tracer(scene))
+        img = render_megakernel(scene, st)
+        assert np.abs(ref - img).mean() < 6e-3
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.99
+
+
+class TestGolden:
+    @pytest.mark.parametrize("scene_name,ref_name", [
+        ("sphere_light_small_mis.json", "sphere_light_small-ref.png"),
+    ])
+    def test_mis_golden_megakernel(self, scene_name, ref_name):
+        golden_dir = os.path.join(SCENES, "MIS_light_tests")
+        if not os.path.isdir(golden_dir):
+            pytest.skip("reference goldens unavailable")
+        import jax.numpy as jnp
+        from PIL import Image
+        from vimg_tpu.render import film
+
+        scene, settings = load_json_scene(os.path.join(golden_dir,
+                                                       scene_name))
+        w, h = 96, 96
+        scene = scene.replace(camera=dataclasses.replace(
+            scene.camera, width=w, height=h))
+        settings = dataclasses.replace(settings, width=w, height=h, spp=96,
+                                       batch_size=w * h * 96)
+        assert supports_megakernel(scene, settings)
+        img = render_megakernel(scene, settings)
+        ours = np.asarray(film.srgb_encode(jnp.asarray(img)))
+        gp = os.path.join(golden_dir, ref_name)
+        golden = np.asarray(Image.open(gp).convert("RGB").resize(
+            (w, h), Image.BILINEAR), np.float32) / 255.0
+        assert np.abs(ours - golden).mean() < 0.06
+        corr = np.corrcoef(ours.mean(-1).ravel(),
+                           golden.mean(-1).ravel())[0, 1]
+        assert corr > 0.97

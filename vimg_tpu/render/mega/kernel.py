@@ -1,0 +1,809 @@
+"""Persistent-path Pallas megakernel: the MIS integrator as ONE TPU kernel.
+
+Work decomposition (see package docstring): the frame's pixels are split
+into blocks of P = rows*128; grid step g owns pixels [g*P, (g+1)*P). Every
+lane owns exactly one pixel and runs that pixel's ``spp`` paths back to
+back inside an in-kernel while_loop (regeneration == wavefront refill with
+a static schedule). The lane accumulator IS the film pixel, so the film
+write is one aligned (rows, 128) block store per channel — the reference's
+shared-image atomic adds (and round 1's scatter-adds) have no analogue
+here at all.
+
+Estimator semantics are identical to render/wavefront.py (same counter RNG
+keys per (pixel, sample, bounce, draw), same MIS/RR rules, reference
+src/integrators/mis_integrator.cpp); scene support is gated by
+``supports_megakernel`` (small analytic scenes: the reference's json scene
+class — see geometry/trace.py for the mesh path).
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vimg_tpu.core import rng
+from vimg_tpu.render.mega import shade
+from vimg_tpu.render.mega.v3 import V3, dot, normalize, onb_from_normal, where
+from vimg_tpu.scene import ir
+
+MIN_T = 1e-4                 # reference Ray.minT
+SHADOW_EPS = 1e-4            # reference mis_integrator.cpp:62
+ROULETTE_THRESHOLD = 5       # reference mis_integrator.cpp:31
+ROULETTE_CLAMP = 0.95
+INV_4PI = 1.0 / (4.0 * math.pi)
+
+DEFAULT_ROWS = 32            # lanes per block = ROWS * 128
+
+
+# ---------------------------------------------------------------------------
+# gating + host-side scene packing
+# ---------------------------------------------------------------------------
+
+def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
+    """True when the scene fits the megakernel's compiled feature set:
+    analytic prims (<=64), const-color materials, tri/sphere lights,
+    constant background, MIS integrator."""
+    if settings.integrator != "mis":
+        return False
+    n_prims = scene.n_tris() + scene.n_spheres()
+    if not (0 < n_prims <= 64):
+        return False
+    if scene.has_envmap or scene.has_image_tex or scene.has_checker:
+        return False
+    if scene.lights_have_bg:
+        return False
+    # vertex normals change n_s interpolation -> wavefront path. UV flags
+    # are irrelevant here: no texture consumers (gated above), and the
+    # UV-derived tangent frame only matters for anisotropic materials,
+    # whose frame-sensitive lobes we only allow on spheres (where the
+    # XLA path also uses the ONB frame, intersect.py:388).
+    if scene.n_tris():
+        if np.any(np.asarray(scene.tri_flags) & ir.TRI_HAS_NORMALS):
+            return False
+        if scene.has_aniso:
+            aniso_mats = set(np.nonzero(
+                np.asarray(scene.mat_scalars)[:, ir.MS_ANISO] != 0.0)[0])
+            if any(int(m) in aniso_mats for m in np.asarray(scene.tri_mat)):
+                return False
+    # materials must resolve to constant base colors
+    mtex = np.asarray(scene.mat_tex)
+    if mtex.size:
+        has_tex = mtex[:, 0] >= 0
+        if np.any(has_tex):
+            ttypes = np.asarray(scene.tex_type)[np.maximum(mtex[:, 0], 0)]
+            if np.any(has_tex & (ttypes != ir.TEX_CONST)):
+                return False
+    return True
+
+
+def _pack_scene(scene: ir.Scene):
+    """Flatten the scene into small numpy tables (the kernel's SMEM args)
+    plus static python metadata baked into the trace."""
+    from vimg_tpu.geometry.soa_intersect import build_constants
+    tri_c, sph_c = build_constants(scene)
+    nt = scene.n_tris()
+    ns = scene.n_spheres()
+
+    # tables padded to >=1 row (zero-row SMEM operands don't lower)
+    tri_c = np.asarray(tri_c, np.float32) if tri_c is not None \
+        else np.zeros((1, 12), np.float32)
+    sph_c = np.asarray(sph_c, np.float32) if sph_c is not None \
+        else np.zeros((1, 4), np.float32)
+
+    # tri vertex rows (p0, p1, p2, unit n) for barycentric hit points: the
+    # hit point must be u*p0 + v*p1 + w*p2 exactly like
+    # geometry/intersect.py:257 — ro + t*rd accumulates ~|ro|*eps error,
+    # comparable to MIN_T on large scenes, and stochastic self-intersection
+    # diverges whole paths. The unit normal is appended below (f32, XLA op
+    # order) once computed.
+    if nt:
+        v32 = np.asarray(scene.verts, np.float32)
+        tv = np.asarray(scene.tri_vidx)
+        tri_v = np.concatenate([v32[tv[:, 0]], v32[tv[:, 1]],
+                                v32[tv[:, 2]]], axis=1).astype(np.float32)
+    else:
+        tri_v = np.zeros((1, 12), np.float32)
+
+    # per-prim static metadata (material ids/types are scene-layout facts)
+    mat_type = np.asarray(scene.mat_type)
+    tri_mat = [int(m) for m in np.asarray(scene.tri_mat)] if nt else []
+    sph_mat = [int(m) for m in np.asarray(scene.sph_mat)] if ns else []
+    prim_mat = tri_mat + sph_mat
+    prim_emissive = [mat_type[m] == ir.MAT_DIFFUSE_LIGHT for m in prim_mat]
+
+    # tri normals/areas in f32 with the SAME op order as the XLA path
+    # (intersect.py n_g, emitters.surf_pdf): ulp-exact values keep the
+    # epsilon races (shadow dist-eps, one-sided tests) deciding the same way
+    def _f32_cross(a, b):
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        return np.stack([a[1] * b[2] - a[2] * b[1],
+                         a[2] * b[0] - a[0] * b[2],
+                         a[0] * b[1] - a[1] * b[0]])
+
+    def _f32_norm2(c):
+        return (c[0] * c[0] + c[1] * c[1]) + c[2] * c[2]
+
+    tri_area = []
+    tri_n = np.zeros((max(nt, 1), 3), np.float32)
+    if nt:
+        v32 = np.asarray(scene.verts, np.float32)
+        tv = np.asarray(scene.tri_vidx)
+        for i in range(nt):
+            p0, p1, p2 = v32[tv[i, 0]], v32[tv[i, 1]], v32[tv[i, 2]]
+            e1 = p1 - p0
+            e2 = p2 - p0
+            c = _f32_cross(e1, e2)
+            n2 = _f32_norm2(c)
+            tri_n[i] = c * (np.float32(1.0)
+                            / np.sqrt(np.maximum(n2, np.float32(1e-38))))
+            # surf_pdf area: sqrt(max(length2(cross(p2-p0, p1-p0)), 0)) / 2
+            a2 = _f32_norm2(_f32_cross(e2, e1))
+            tri_area.append(float(np.sqrt(np.maximum(a2, np.float32(0.0)))
+                                  / np.float32(2.0)))
+        tri_v = np.concatenate([tri_v, tri_n], axis=1)
+
+    # effective base colors: TEX_CONST textures resolved here
+    mat_base = np.asarray(scene.mat_base, np.float32).copy()
+    mtex = np.asarray(scene.mat_tex)
+    for k in range(mat_base.shape[0]):
+        if mtex.size and mtex[k, 0] >= 0:
+            mat_base[k] = np.asarray(scene.tex_cols)[mtex[k, 0], 0]
+    mat_scalars = np.asarray(scene.mat_scalars, np.float32)
+
+    # light rows: tri -> p0, p1, p2, unit n, area; sphere -> center, radius.
+    # All f32 with emitters.py op order (see tri_n note above).
+    lt = np.asarray(scene.light_type)
+    li = np.asarray(scene.light_idx)
+    light_is_tri = [bool(t == ir.LIGHT_TRI) for t in lt]
+    light_rows = np.zeros((max(len(lt), 1), 16), np.float32)
+    verts32 = np.asarray(scene.verts, np.float32)
+    tvidx = np.asarray(scene.tri_vidx)
+    sph_center32 = np.asarray(scene.sph_center, np.float32) \
+        if ns else np.zeros((0, 3), np.float32)
+    sph_radius32 = np.asarray(scene.sph_radius, np.float32) \
+        if ns else np.zeros((0,), np.float32)
+    for l, (t, idx) in enumerate(zip(lt, li)):
+        if t == ir.LIGHT_TRI:
+            p0, p1, p2 = verts32[tvidx[idx]]
+            # emitters._sample_tri area: sqrt(max(length2(cross(e2,e1)),0))/2
+            a2 = _f32_norm2(_f32_cross(p2 - p0, p1 - p0))
+            area = np.sqrt(np.maximum(a2, np.float32(0.0))) / np.float32(2.0)
+            emit = mat_base[tri_mat[idx]]
+            light_rows[l] = np.concatenate(
+                [p0, p1, p2, tri_n[idx], [area], emit]).astype(np.float32)
+        elif t == ir.LIGHT_SPHERE:
+            emit = mat_base[sph_mat[idx]]
+            light_rows[l, :7] = np.concatenate(
+                [sph_center32[idx], [sph_radius32[idx]], emit])
+
+    cam = scene.camera
+    c2w = np.asarray(cam.cam2world, np.float32)
+    cam_row = np.concatenate([
+        [float(cam.vfov_deg), float(cam.aperture_radius),
+         float(cam.focal_dist), 0.0],
+        c2w[:3, :3].reshape(-1), c2w[:3, 3],
+        np.asarray(scene.bg_color, np.float32)]).astype(np.float32)
+
+    static = dict(
+        nt=nt, ns=ns, n_mats=int(mat_type.shape[0]),
+        n_lights=int(lt.shape[0]),
+        mat_type=[int(t) for t in mat_type],
+        prim_mat=prim_mat, prim_emissive=prim_emissive, tri_area=tri_area,
+        light_is_tri=light_is_tri,
+        has_dof=float(cam.aperture_radius) > 0.0,
+        any_sphere_light_prim=any(
+            prim_emissive[nt + j] for j in range(ns)) if ns else False,
+    )
+    tables = dict(tri_c=tri_c, tri_v=tri_v, sph_c=sph_c, mat_base=mat_base,
+                  mat_scalars=mat_scalars, light_rows=light_rows,
+                  cam_row=cam_row)
+    return tables, static
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers
+# ---------------------------------------------------------------------------
+
+def _uniform4(pix, samp, bounce, draw):
+    """rng.uniform4 with the TPU-kernel-safe uint32->f32 route (Mosaic has
+    no u32->f32 cast; values are < 2^24 after the shift so int32 is exact)."""
+    def tofloat(u):
+        return ((u >> jnp.uint32(8)).astype(jnp.int32).astype(jnp.float32)
+                * jnp.float32(5.9604645e-08))
+    x, y, z, w = rng.pcg4d(pix, samp, bounce, draw)
+    return tofloat(x), tofloat(y), tofloat(z), tofloat(w)
+
+
+def _balance(pdf1, pdf2):
+    return pdf1 / jnp.maximum(pdf1 + pdf2, 1e-20)
+
+
+def _fdiv(a, b, guard=1e-30):
+    """Finite-safe divide (miss lanes masked later)."""
+    bad = jnp.abs(b) < guard
+    return jnp.where(bad, 0.0, a / jnp.where(bad, 1.0, b))
+
+
+# ---------------------------------------------------------------------------
+# kernel factory
+# ---------------------------------------------------------------------------
+
+def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
+                 rows, n_pixels):
+    """Returns the Pallas kernel function (closes over static metadata and
+    the Scene only for its static feature flags)."""
+    nt, ns = static["nt"], static["ns"]
+    NL = static["n_lights"]
+    W, H, spp = settings.width, settings.height, settings.spp
+    max_depth = settings.max_depth
+    P = rows * 128
+    Draw = rng.Draw
+
+    def kernel(tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
+               cam_ref, film_r, film_g, film_b, stats_ref):
+        g = pl.program_id(0)
+
+        # ---- scene constants: read once, closure-captured --------------
+        tris = [tuple(tri_ref[i, k] for k in range(12)) for i in range(nt)]
+        triv = [tuple(triv_ref[i, k] for k in range(12)) for i in range(nt)]
+        sphs = [tuple(sph_ref[j, k] for k in range(4)) for j in range(ns)]
+        mat_base = [tuple(matb_ref[m, k] for k in range(3))
+                    for m in range(static["n_mats"])]
+        mat_sc = [tuple(mats_ref[m, k] for k in range(ir.N_MAT_SCALARS))
+                  for m in range(static["n_mats"])]
+        lights = [tuple(light_ref[l, k] for k in range(16))
+                  for l in range(NL)]
+        cam = tuple(cam_ref[0, k] for k in range(19))
+        vfov_deg, aperture, focal = cam[0], cam[1], cam[2]
+        rot = cam[4:13]
+        trans = cam[13:16]
+        bg = cam[16:19]
+
+        shape = (rows, 128)
+        f0 = jnp.zeros(shape, jnp.float32)
+        i0 = jnp.zeros(shape, jnp.int32)
+        b0 = f0 > 1.0
+        z3 = V3(f0, f0, f0)
+
+        lane = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
+        pix = g * P + lane                      # one pixel per lane
+        in_frame = pix < n_pixels
+
+        # ---- stages ----------------------------------------------------
+        def primary_ray(samp):
+            """Camera ray for this lane's pixel at sample ``samp``
+            (port of integrators._primary_rays + camera.generate_rays;
+            op-for-op so the f32 results are bit-identical — see tri_n
+            note in _pack_scene)."""
+            x = pix % W
+            y = (H - 1) - pix // W
+            ox, oy = rng.r2_sequence(x + y + samp)
+            px = x.astype(jnp.float32) + ox
+            py = y.astype(jnp.float32) + oy
+            theta = (f0 + vfov_deg) * (math.pi / 180.0)
+            img_h = 2.0 * jnp.tan(theta / 2.0)
+            img_w = img_h * (W / H)
+            x_dir = img_w * (px / W) - img_w / 2.0
+            y_dir = img_h * (py / H) - img_h / 2.0
+            d = normalize(V3(x_dir, y_dir, jnp.full(shape, -1.0)))
+            o = z3
+            if static["has_dof"]:
+                l1, l2, _, _ = _uniform4(pix, samp, 0, Draw.CAMERA_LENS)
+                dx, dy = shade.sample_disk(l1, l2)
+                o = V3(dx * aperture, dy * aperture, f0)
+                ft = focal / jnp.abs(d.z)
+                d = normalize(d * ft - o)
+            wo = V3(rot[0] * o.x + rot[1] * o.y + rot[2] * o.z + trans[0],
+                    rot[3] * o.x + rot[4] * o.y + rot[5] * o.z + trans[1],
+                    rot[6] * o.x + rot[7] * o.y + rot[8] * o.z + trans[2])
+            wd = normalize(
+                V3(rot[0] * d.x + rot[1] * d.y + rot[2] * d.z,
+                   rot[3] * d.x + rot[4] * d.y + rot[5] * d.z,
+                   rot[6] * d.x + rot[7] * d.y + rot[8] * d.z))
+            return wo, wd
+
+        def trace(ro, rd, minT, maxT, any_hit=False):
+            """Unrolled closest/any-hit over all prims (port of
+            soa_intersect._trace_impl; same select semantics)."""
+            best_t = maxT
+            best_id = jnp.full(shape, -1, jnp.int32)
+            best_u = f0
+            best_v = f0
+            for i, (nx, ny, nz, d0, m1x, m1y, m1z, c1,
+                    m2x, m2y, m2z, c2) in enumerate(tris):
+                ro_n = ro.x * nx + ro.y * ny + ro.z * nz
+                rd_n = rd.x * nx + rd.y * ny + rd.z * nz
+                par = jnp.abs(rd_n) < 1e-22
+                t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                u = (ro.x * m1x + ro.y * m1y + ro.z * m1z - c1
+                     + t * (rd.x * m1x + rd.y * m1y + rd.z * m1z))
+                v = (ro.x * m2x + ro.y * m2y + ro.z * m2z - c2
+                     + t * (rd.x * m2x + rd.y * m2y + rd.z * m2z))
+                hit = (~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t >= minT) & (t < best_t))
+                best_id = jnp.where(hit, i, best_id)
+                best_u = jnp.where(hit, u, best_u)
+                best_v = jnp.where(hit, v, best_v)
+                best_t = jnp.where(hit, t, best_t)
+            if ns:
+                ro_rd = dot(ro, rd)
+                ro2 = dot(ro, ro)
+                rd2 = dot(rd, rd)
+                for j, (cx, cy, cz, r2) in enumerate(sphs):
+                    ro_c = ro.x * cx + ro.y * cy + ro.z * cz
+                    rd_c = rd.x * cx + rd.y * cy + rd.z * cz
+                    b_prime = rd_c - ro_rd
+                    cc = ro2 - 2.0 * ro_c + (cx * cx + cy * cy + cz * cz) - r2
+                    disc4 = b_prime * b_prime - rd2 * cc
+                    has = disc4 >= 0.0
+                    sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+                    sign = jnp.where(b_prime > 0.0, 1.0, -1.0)
+                    q = b_prime + sign * sq
+                    x0 = _fdiv(cc, q)
+                    x1 = _fdiv(q, rd2)
+                    t0 = jnp.minimum(x0, x1)
+                    t1 = jnp.maximum(x0, x1)
+                    t0_ok = (t0 >= minT) & (t0 < best_t)
+                    t1_ok = (t1 >= minT) & (t1 < best_t)
+                    t = jnp.where(t0_ok, t0, t1)
+                    hit = has & (t0_ok | t1_ok)
+                    best_id = jnp.where(hit, nt + j, best_id)
+                    best_t = jnp.where(hit, t, best_t)
+            if any_hit:
+                return best_id >= 0
+            return best_t, best_id, best_u, best_v
+
+        def hit_frame(ro, rd, t, best_id, bu, bv):
+            """Shading data for the winning prim: position, normals, ONB
+            frame, material params (select chains over the tiny tables).
+            Tri hit points are barycentric (see _pack_scene tri_v note);
+            (bu, bv) are the e1/e2 coefficients from the dual-basis test."""
+            p = ro + rd * t
+            n = z3
+            if nt:
+                p0, p1, p2 = z3, z3, z3
+                is_tri = (best_id >= 0) & (best_id < nt)
+                for i in range(nt):
+                    m = best_id == i
+                    tv = triv[i]
+                    n = where(m, V3(f0 + tv[9], f0 + tv[10], f0 + tv[11]), n)
+                    p0 = where(m, V3(f0 + tv[0], f0 + tv[1], f0 + tv[2]), p0)
+                    p1 = where(m, V3(f0 + tv[3], f0 + tv[4], f0 + tv[5]), p1)
+                    p2 = where(m, V3(f0 + tv[6], f0 + tv[7], f0 + tv[8]), p2)
+                # weights of (p0, p1, p2) from the (e1, e2) coefficients,
+                # summed in geometry/intersect.py:257 operand order
+                wu = 1.0 - bu - bv
+                p_tri = p0 * wu + p1 * bu + p2 * bv
+                p = where(is_tri, p_tri, p)
+            if ns:
+                csel = z3
+                is_sph = best_id >= nt
+                for j, (cx, cy, cz, r2) in enumerate(sphs):
+                    m = best_id == nt + j
+                    csel = where(m, V3(f0 + cx, f0 + cy, f0 + cz), csel)
+                # normalize(hit_p - center), like intersect.py:372
+                n = where(is_sph, normalize(p - csel), n)
+
+            mat_id = i0
+            for i in range(nt + ns):
+                mat_id = jnp.where(best_id == i, static["prim_mat"][i],
+                                   mat_id)
+            tangent, bitangent = onb_from_normal(n)
+            return p, n, shade.Hit(n_s=n, n_g=n, tangent=tangent,
+                                   bitangent=bitangent), mat_id
+
+        def gather_mat(mat_id):
+            """Per-lane material params via select chains (the in-kernel
+            tgather; material types are static)."""
+            mp = dict(base=z3, eta=f0 + 1.0)
+            for key in ("spec_trans", "subsurface", "specular", "spec_tint",
+                        "anisotropic", "sheen", "sheen_tint", "clearcoat",
+                        "clearcoat_gloss", "metallic", "roughness"):
+                mp[key] = f0
+            cols = dict(eta=ir.MS_IOR, spec_trans=ir.MS_SPEC_TRANS,
+                        subsurface=ir.MS_SUBSURFACE, specular=ir.MS_SPECULAR,
+                        spec_tint=ir.MS_SPEC_TINT, anisotropic=ir.MS_ANISO,
+                        sheen=ir.MS_SHEEN, sheen_tint=ir.MS_SHEEN_TINT,
+                        clearcoat=ir.MS_CLEARCOAT,
+                        clearcoat_gloss=ir.MS_CLEARCOAT_GLOSS,
+                        metallic=ir.MS_METALLIC, roughness=ir.MS_ROUGHNESS)
+            is_lamb, is_diel, is_light, is_prin = b0, b0, b0, b0
+            for k in range(static["n_mats"]):
+                m = mat_id == k
+                t = static["mat_type"][k]
+                mp["base"] = where(m, V3(f0 + mat_base[k][0],
+                                         f0 + mat_base[k][1],
+                                         f0 + mat_base[k][2]), mp["base"])
+                if t == ir.MAT_LAMBERTIAN:
+                    is_lamb = is_lamb | m
+                elif t == ir.MAT_DIELECTRIC:
+                    is_diel = is_diel | m
+                    mp["eta"] = jnp.where(m, mat_sc[k][ir.MS_IOR], mp["eta"])
+                elif t == ir.MAT_DIFFUSE_LIGHT:
+                    is_light = is_light | m
+                elif t == ir.MAT_PRINCIPLED:
+                    is_prin = is_prin | m
+                    for key, c in cols.items():
+                        mp[key] = jnp.where(m, mat_sc[k][c], mp[key])
+            mp.update(is_lamb=is_lamb, is_diel=is_diel, is_light=is_light,
+                      is_prin=is_prin)
+            return mp
+
+        def surf_pdf(best_id, ro, p, rd):
+            """Area pdf of the hit point on the hit (emissive) prim — MIS
+            for BSDF light hits (port of emitters.surf_pdf)."""
+            pdf = f0
+            for i in range(nt):
+                if static["prim_emissive"][i]:
+                    pdf = jnp.where(best_id == i,
+                                    1.0 / max(static["tri_area"][i], 1e-20),
+                                    pdf)
+            if static["any_sphere_light_prim"]:
+                for j, (cx, cy, cz, r2) in enumerate(sphs):
+                    if not static["prim_emissive"][nt + j]:
+                        continue
+                    c = V3(f0 + cx, f0 + cy, f0 + cz)
+                    toc = ro - c
+                    d2 = dot(toc, toc)
+                    inside = d2 <= r2
+                    sa = 4.0 * math.pi * r2
+                    cos_max = jnp.sqrt(jnp.clip(
+                        1.0 - r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
+                    pdf_cone = 1.0 / (2.0 * math.pi
+                                      * jnp.maximum(1.0 - cos_max, 1e-12))
+                    nrm = normalize(p - c)
+                    cosine = jnp.abs(dot(nrm, -rd))
+                    dd = p - ro
+                    dist2 = dot(dd, dd)
+                    spdf = jnp.where(inside, 1.0 / sa,
+                                     pdf_cone * cosine
+                                     / jnp.maximum(dist2, 1e-20))
+                    pdf = jnp.where(best_id == nt + j, spdf, pdf)
+            return pdf
+
+        def sample_lights(look_from, pick, r1, r2):
+            """Uniform light pick + per-type sampling (port of
+            emitters.sample_lights); returns (rad, wi, pdf, dist, G)."""
+            idx = jnp.clip((pick * NL).astype(jnp.int32), 0, NL - 1)
+            rad, wi = z3, z3
+            pdf, dist, G = f0, f0, f0
+            # selected params per type
+            any_tri = any(static["light_is_tri"])
+            any_sph = not all(static["light_is_tri"])
+            if any_tri:
+                p0, p1, p2, nrm, emit = z3, z3, z3, z3, z3
+                area = f0
+                is_tri = b0
+                for l, row in enumerate(lights):
+                    if not static["light_is_tri"][l]:
+                        continue
+                    m = idx == l
+                    is_tri = is_tri | m
+                    p0 = where(m, V3(f0 + row[0], f0 + row[1], f0 + row[2]), p0)
+                    p1 = where(m, V3(f0 + row[3], f0 + row[4], f0 + row[5]), p1)
+                    p2 = where(m, V3(f0 + row[6], f0 + row[7], f0 + row[8]), p2)
+                    nrm = where(m, V3(f0 + row[9], f0 + row[10],
+                                      f0 + row[11]), nrm)
+                    area = jnp.where(m, row[12], area)
+                    emit = where(m, V3(f0 + row[13], f0 + row[14],
+                                       f0 + row[15]), emit)
+                u, v = shade.sample_triangle_uv(r1, r2)
+                w = 1.0 - u - v
+                # op order of emitters._sample_tri:54-66
+                hit_p = p0 * u + p1 * v + p2 * w
+                hit_n = normalize(nrm * u + nrm * v + nrm * w)
+                dvec = hit_p - look_from
+                dist2 = dot(dvec, dvec)
+                t_wi = normalize(dvec)
+                t_pdf = 1.0 / jnp.maximum(area, 1e-20)
+                t_G = jnp.abs(dot(hit_n, -t_wi)) / jnp.maximum(dist2, 1e-20)
+                front = dot(hit_n, t_wi) < 0.0
+                t_rad = where(front, emit, z3)
+                rad = where(is_tri, t_rad, rad)
+                wi = where(is_tri, t_wi, wi)
+                pdf = jnp.where(is_tri, t_pdf, pdf)
+                dist = jnp.where(is_tri, jnp.sqrt(dist2), dist)
+                G = jnp.where(is_tri, t_G, G)
+            if any_sph:
+                c, emit = z3, z3
+                radius = f0
+                is_sph = b0
+                for l, row in enumerate(lights):
+                    if static["light_is_tri"][l]:
+                        continue
+                    m = idx == l
+                    is_sph = is_sph | m
+                    c = where(m, V3(f0 + row[0], f0 + row[1], f0 + row[2]), c)
+                    radius = jnp.where(m, row[3], radius)
+                    emit = where(m, V3(f0 + row[4], f0 + row[5],
+                                       f0 + row[6]), emit)
+                to_c = look_from - c
+                d2 = dot(to_c, to_c)
+                inside = d2 <= radius * radius
+                cos_max = jnp.sqrt(jnp.clip(
+                    1.0 - (radius * radius) / jnp.maximum(d2, 1e-20),
+                    0.0, 1.0))
+                dir_c = normalize(to_c)
+                u_ax, v_ax = onb_from_normal(dir_c)
+                zdir = shade.sample_sphere_cap(r1, r2, cos_max)
+                p_out = normalize(u_ax * zdir.x + v_ax * zdir.y
+                                  + dir_c * zdir.z) * radius + c
+                p_in = shade.sample_sphere(r1, r2) * radius + c
+                hit_p = where(inside, p_in, p_out)
+                nrm = normalize(hit_p - c)
+                dvec = hit_p - look_from
+                dist2 = dot(dvec, dvec)
+                s_wi = normalize(dvec)
+                s_G = jnp.abs(dot(nrm, -s_wi)) / jnp.maximum(dist2, 1e-20)
+                sa = 4.0 * math.pi * radius * radius
+                pdf_cone = 1.0 / (2.0 * math.pi
+                                  * jnp.maximum(1.0 - cos_max, 1e-12))
+                s_pdf = jnp.where(inside, 1.0 / sa, pdf_cone * s_G)
+                front = dot(nrm, s_wi) < 0.0
+                s_rad = where(front, emit, z3)
+                rad = where(is_sph, s_rad, rad)
+                wi = where(is_sph, s_wi, wi)
+                pdf = jnp.where(is_sph, s_pdf, pdf)
+                dist = jnp.where(is_sph, jnp.sqrt(dist2), dist)
+                G = jnp.where(is_sph, s_G, G)
+            return rad, wi, pdf / NL, dist, G
+
+        # ---- the persistent loop ---------------------------------------
+        def body(st):
+            (m, d, active, fresh, prev_delta, non_spec,
+             ro, rd, tp, res, acc, eta_scale, prev_pdf,
+             nseg, nshadow) = st
+
+            # regenerate idle lanes (wavefront refill, static schedule)
+            busy = m < spp
+            gen = busy & ~active
+            samp = m          # this lane's sample index (+offset by caller)
+            ro_new, rd_new = primary_ray(samp)
+            ro = where(gen, ro_new, ro)
+            rd = where(gen, rd_new, rd)
+            tp = where(gen, V3(f0 + 1.0, f0 + 1.0, f0 + 1.0), tp)
+            res = where(gen, z3, res)
+            d = jnp.where(gen, 0, d)
+            eta_scale = jnp.where(gen, 1.0, eta_scale)
+            prev_pdf = jnp.where(gen, 0.0, prev_pdf)
+            prev_delta = prev_delta & ~gen
+            non_spec = non_spec & ~gen
+            fresh = jnp.where(gen, True, fresh)
+            active = busy
+            nseg = nseg + jnp.sum(active, dtype=jnp.float32)
+
+            # ---- 1. trace + emissive/miss termination ------------------
+            minT = f0 + MIN_T
+            infT = f0 + jnp.inf
+            best_t, best_id, bu, bv = trace(ro, rd, minT, infT)
+            hit = best_id >= 0
+            t_safe = jnp.where(hit, best_t, 1.0)
+            p, n_g, hi, mat_id = hit_frame(ro, rd, t_safe, best_id, bu, bv)
+            mp = gather_mat(mat_id)
+
+            found = active & hit
+            missed = active & ~hit
+            front = dot(hi.n_s, rd) < 0.0
+            emissive = found & mp["is_light"]
+            em = where(front, mp["base"], z3)
+
+            light_pdf = surf_pdf(best_id, ro, p, rd) / max(NL, 1)
+            dvec = ro - p
+            dist2 = jnp.maximum(dot(dvec, dvec), 1e-20)
+            G2 = jnp.abs(dot(n_g, normalize(dvec))) / dist2
+            w1 = fresh | prev_delta | (prev_pdf == 0.0)
+            w_hit = jnp.where(w1, 1.0, _balance(prev_pdf * G2, light_pdf))
+            res = where(emissive, res + tp * em * w_hit, res)
+
+            # background on miss (mis_integrator.cpp:36-38, 173-186)
+            bgp = INV_4PI / max(NL, 1)
+            w_bg = jnp.where(w1, 1.0, _balance(prev_pdf, bgp))
+            add_bg = missed & (fresh | bool(scene.bg_is_emissive))
+            bg_col = V3(f0 + bg[0], f0 + bg[1], f0 + bg[2])
+            res = where(add_bg, res + tp * bg_col * w_bg, res)
+
+            terminated = missed | emissive
+            cont = found & ~emissive
+
+            # ---- russian roulette (mis_integrator.cpp:153-167) ---------
+            rr_rand, _, _, _ = _uniform4(pix, samp, d, Draw.ROULETTE)
+            inv_es = 1.0 / eta_scale
+            rr_max = jnp.minimum(
+                jnp.maximum(tp.x * inv_es,
+                            jnp.maximum(tp.y * inv_es, tp.z * inv_es)),
+                ROULETTE_CLAMP)
+            survive = rr_rand <= rr_max
+            do_rr = cont & (d > ROULETTE_THRESHOLD) & ~fresh
+            tp = where(do_rr & survive,
+                       tp / jnp.maximum(rr_max, 1e-20), tp)
+            rr_kill = do_rr & ~survive
+            terminated = terminated | rr_kill
+            cont = cont & ~rr_kill
+            if max_depth < 2 ** 30:
+                depth_kill = cont & (d + 1 > max_depth)
+                terminated = terminated | depth_kill
+                cont = cont & ~depth_kill
+
+            # ---- 2. NEE ------------------------------------------------
+            mat_delta = mp["is_diel"]
+            if NL > 0:
+                pick, lr1, lr2, _ = _uniform4(pix, samp, d, Draw.LIGHT_SAMPLE)
+                ls_rad, ls_wi, ls_pdf, ls_dist, ls_G = sample_lights(
+                    p, pick, lr1, lr2)
+                do_nee = cont & ~mat_delta & (ls_pdf != 0.0)
+                shadow_max = jnp.where(jnp.isfinite(ls_dist),
+                                       ls_dist - SHADOW_EPS, infT)
+                occl = trace(p, ls_wi, minT, shadow_max, any_hit=True)
+                nshadow = nshadow + jnp.sum(do_nee, dtype=jnp.float32)
+                f, mpdf = shade.eval_pdf(scene, mp, rd, ls_wi, hi, non_spec)
+                ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
+                w = _balance(ls_pdf, mpdf * ls_G)
+                contrib = tp * f * ls_rad * (w * ls_G
+                                             / jnp.maximum(ls_pdf, 1e-20))
+                contrib = where(jnp.isnan(contrib.x) | jnp.isnan(contrib.y)
+                                | jnp.isnan(contrib.z), z3, contrib)
+                res = where(ok, res + contrib, res)
+
+            # ---- 3. BSDF sampling --------------------------------------
+            b1, b2, b3, b4 = _uniform4(pix, samp, d, Draw.BSDF_SAMPLE)
+            rands = {"lobe": b1, "u": b2, "v": b3, "fresnel": b4}
+            wo, s_eta, is_spec, valid = shade.sample_mat(
+                scene, mp, rd, hi, rands, non_spec)
+            absorbed = cont & ~valid
+            terminated = terminated | absorbed
+            cont = cont & valid
+            non_spec = non_spec | (cont & ~is_spec)
+
+            refr = s_eta != 0.0
+            eta_scale = jnp.where(refr & cont,
+                                  eta_scale / jnp.maximum(s_eta * s_eta,
+                                                          1e-20), eta_scale)
+
+            f2, pdf2 = shade.eval_pdf(scene, mp, rd, wo, hi, non_spec)
+            nan_pdf = jnp.isnan(pdf2)
+            terminated = terminated | (cont & nan_pdf)
+            cont = cont & ~nan_pdf
+
+            ratio = where(mat_delta, V3(f0 + 1.0, f0 + 1.0, f0 + 1.0),
+                          f2 / jnp.maximum(pdf2, 1e-20))
+            ratio = V3(*(jnp.where(jnp.isnan(r) | jnp.isinf(r), 0.0, r)
+                         for r in ratio))
+            tp = where(cont, tp * ratio, tp)
+
+            ro = where(cont, p, ro)
+            rd = where(cont, wo, rd)
+            prev_pdf = jnp.where(cont, pdf2, prev_pdf)
+            prev_delta = jnp.where(cont, mat_delta, prev_delta)
+            d = jnp.where(cont, d + 1, d)
+            fresh = fresh & ~active
+
+            # ---- 4. retire ---------------------------------------------
+            acc = where(terminated, acc + res, acc)
+            m = jnp.where(terminated, m + 1, m)
+            active = cont
+            return (m, d, active, fresh, prev_delta, non_spec,
+                    ro, rd, tp, res, acc, eta_scale, prev_pdf,
+                    nseg, nshadow)
+
+        def cond(st):
+            return jnp.any(st[0] < spp)
+
+        m0 = jnp.where(in_frame, 0, spp)
+        st = (m0, i0, b0, b0, b0, b0, z3, z3, z3, z3, z3,
+              f0 + 1.0, f0, jnp.float32(0.0), jnp.float32(0.0))
+        st = jax.lax.while_loop(cond, body, st)
+        acc = st[10]
+        nseg, nshadow = st[13], st[14]
+
+        film_r[:] = acc.x
+        film_g[:] = acc.y
+        film_b[:] = acc.z
+        col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        stats_ref[:] = (jnp.where(col == 0, nseg, 0.0)
+                        + jnp.where(col == 1, nshadow, 0.0))
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=16)
+def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
+                    rows, n_blocks, n_pixels, interpret):
+    """Compiled pallas_call wrapper; cached on static configuration.
+    scene_key/static_key are hashable digests built by render_megakernel —
+    the actual scene tables are passed as runtime args."""
+    scene, static = _MEGA_CACHE[scene_key]
+    kernel = _make_kernel(scene, settings, static, rows, n_pixels)
+
+    film_shape = jax.ShapeDtypeStruct((n_blocks * rows, 128), jnp.float32)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7,
+        out_shape=(film_shape, film_shape, film_shape,
+                   jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)),
+        out_specs=(
+            pl.BlockSpec((rows, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+_MEGA_CACHE = {}
+
+
+def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
+                      rows=DEFAULT_ROWS, return_stats=False, progress=False):
+    """Full-frame MIS render with the persistent Pallas megakernel."""
+    import time
+
+    tables, static = _pack_scene(scene)
+    W, H, spp = settings.width, settings.height, settings.spp
+    n_pixels = W * H
+    P = rows * 128
+    while rows > 1 and (rows // 2) * 128 >= n_pixels:
+        rows //= 2
+        P = rows * 128
+    n_blocks = -(-n_pixels // P)
+
+    # hashable key for the cached builder: static layout facts + table
+    # shapes (numeric table VALUES are runtime args)
+    static_key = (static["nt"], static["ns"], static["n_mats"],
+                  static["n_lights"], tuple(static["mat_type"]),
+                  tuple(static["prim_mat"]),
+                  tuple(bool(e) for e in static["prim_emissive"]),
+                  tuple(static["tri_area"]),
+                  tuple(static["light_is_tri"]), static["has_dof"],
+                  static["any_sphere_light_prim"],
+                  scene.has_lambertian, scene.has_dielectric,
+                  scene.has_principled, scene.has_sheen, scene.has_clearcoat,
+                  scene.has_aniso, scene.has_spec_trans,
+                  bool(scene.bg_is_emissive))
+    scene_key = (static_key, settings, rows, n_blocks)
+    _MEGA_CACHE[scene_key] = (scene, static)
+    interpret = jax.default_backend() == "cpu"
+    fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
+                         n_pixels, interpret)
+
+    args = (tables["tri_c"], tables["tri_v"], tables["sph_c"],
+            tables["mat_base"], tables["mat_scalars"], tables["light_rows"],
+            tables["cam_row"].reshape(1, -1))
+    t0 = time.time()
+    film_r, film_g, film_b, stats = jax.block_until_ready(fn(*args))
+    dt = time.time() - t0
+
+    img = np.stack([np.asarray(film_r).reshape(-1)[:n_pixels],
+                    np.asarray(film_g).reshape(-1)[:n_pixels],
+                    np.asarray(film_b).reshape(-1)[:n_pixels]],
+                   axis=-1).reshape(H, W, 3) / spp
+    st = np.asarray(stats).reshape(n_blocks, 8, 128)
+    segs = float(st[:, 0, 0].sum())
+    shadow = float(st[:, 1, 0].sum())
+    if progress:
+        total = n_pixels * spp
+        print(f"Megakernel: {total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s, "
+              f"{(segs + shadow) / max(dt, 1e-9) / 1e6:.2f} Mrays/s "
+              f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
+    if return_stats:
+        return img, dict(segments=segs, shadow_rays=shadow, seconds=dt)
+    return img
+
+

@@ -67,10 +67,20 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
 
 def render_frame(scene, settings, tracer=None, progress=False,
                  integrator=None, use_wavefront=True):
-    """Render dispatch: the persistent wavefront for full MIS frames,
-    the chunked loop renderer otherwise."""
+    """Render dispatch: the Pallas megakernel for supported MIS scenes on
+    accelerators, the persistent wavefront for other full MIS frames, the
+    chunked loop renderer otherwise."""
     name = integrator or settings.integrator
     if use_wavefront and name == "mis":
+        import dataclasses
+        from vimg_tpu.render.mega import (render_megakernel,
+                                          supports_megakernel)
+        st = settings if integrator is None else dataclasses.replace(
+            settings, integrator=name)
+        # on CPU the megakernel only runs interpreted (slow) — keep it for
+        # tests; production CPU renders use the XLA wavefront
+        if jax.default_backend() != "cpu" and supports_megakernel(scene, st):
+            return render_megakernel(scene, st, progress=progress)
         from vimg_tpu.render.wavefront import render_wavefront
         return render_wavefront(scene, settings, tracer=tracer,
                                 progress=progress)
