@@ -25,6 +25,9 @@ def _load_golden(name, w, h):
 @pytest.mark.parametrize("scene_name,ref_name", [
     ("sphere_light_small_mis.json", "sphere_light_small-ref.png"),
     ("sphere_light_medium_mis.json", "sphere_light_medium-ref.png"),
+    # cube.obj is absent from the scene mount; the loader substitutes the
+    # synthesized unit cube (json_loader._synth_mesh_asset)
+    ("odyssey_mis.json", "odyssey_mis-ref.png"),
 ])
 def test_mis_golden(scene_name, ref_name):
     if not os.path.isdir(GOLDEN_DIR):
@@ -35,7 +38,11 @@ def test_mis_golden(scene_name, ref_name):
     from vimg_tpu.scene.json_loader import load_json_scene
 
     scene, settings = load_json_scene(os.path.join(GOLDEN_DIR, scene_name))
-    w, h = 96, 96
+    # keep the scene's aspect ratio: horizontal fov follows W/H, so a
+    # square crop of a 16:9 scene (odyssey) would reframe the image
+    ar = settings.width / settings.height
+    h = 72 if ar > 1.2 else 96
+    w = int(round(h * ar))
     scene = scene.replace(camera=dataclasses.replace(
         scene.camera, width=w, height=h))
     settings = dataclasses.replace(settings, width=w, height=h, spp=96,

