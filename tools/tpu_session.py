@@ -1,0 +1,194 @@
+"""One-process TPU measurement session (the axon tunnel is single-client
+and killed clients wedge the grant — batch ALL on-chip work per process).
+
+Runs, in order, writing incremental results to --out (default
+/tmp/tpu_session.json):
+  1. disney_spheres megakernel bench, rows sweep
+  2. synthetic 100k-tri cluster-tracer bench (closest + shadow)
+  3. on-TPU smoke render: small disney frame hashed vs CPU reference stats
+
+Usage: python tools/tpu_session.py [--skip mega,cluster,smoke]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import numpy as np
+
+RESULTS = {}
+OUT = "/tmp/tpu_session.json"
+
+
+def save():
+    with open(OUT, "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def log(msg):
+    print(msg, flush=True)
+
+
+def bench_mega(rows_list=(16, 32, 64), spp=32):
+    from vimg_tpu.render.mega import render_megakernel
+    from vimg_tpu.scene.json_loader import load_json_scene
+
+    scene, st = load_json_scene("/root/reference/scenes/disney_spheres.json")
+    st = dataclasses.replace(st, spp=spp)
+    total = st.width * st.height * spp
+    out = {}
+    for rows in rows_list:
+        t0 = time.time()
+        img, stats = render_megakernel(scene, st, rows=rows,
+                                       return_stats=True)
+        first = time.time() - t0
+        best = stats["seconds"]
+        segs, shadow = stats["segments"], stats["shadow_rays"]
+        for _ in range(2):
+            _, s2 = render_megakernel(scene, st, rows=rows,
+                                      return_stats=True)
+            best = min(best, s2["seconds"])
+        mpaths = total / best / 1e6
+        out[rows] = dict(first_s=round(first, 2), best_s=round(best, 4),
+                         mpaths=round(mpaths, 2),
+                         mrays=round((segs + shadow) / best / 1e6, 1),
+                         vs_baseline=round(mpaths / 12.9, 3),
+                         img_mean=float(np.asarray(img).mean()))
+        log(f"mega rows={rows}: first={first:.1f}s best={best:.3f}s "
+            f"{mpaths:.2f} Mpaths/s vs_baseline={mpaths/12.9:.3f} "
+            f"mean={out[rows]['img_mean']:.5f}")
+        RESULTS["mega_disney"] = out
+        save()
+
+
+def bench_cluster(T=100_000, B=1 << 17):
+    """Synthetic 100k-tri bumpy-sphere mesh; measure closest-hit rays/s for
+    coherent (camera) and incoherent (random) ray batches."""
+    import jax.numpy as jnp
+    from vimg_tpu.geometry.cluster_trace import ClusterTracer
+    from vimg_tpu.scene.json_loader import SceneBuilder
+    from vimg_tpu.scene import ir as _ir
+    from vimg_tpu.render.camera import Camera
+    from vimg_tpu.core.math import look_at
+
+    rs = np.random.RandomState(0)
+    n = int(np.sqrt(T / 2)) + 1
+    th = np.linspace(1e-3, np.pi - 1e-3, n)
+    ph = np.linspace(0, 2 * np.pi, n)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    r = 1.0 + 0.05 * rs.randn(n, n)
+    verts = np.stack([(r * np.sin(tt) * np.cos(pp)).ravel(),
+                      (r * np.cos(tt)).ravel(),
+                      (r * np.sin(tt) * np.sin(pp)).ravel()],
+                     -1).astype(np.float32)
+    quads = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            quads += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    tris = np.asarray(quads[:T] if len(quads) > T else quads)
+    b = SceneBuilder()
+    m = b.add_material(_ir.MAT_LAMBERTIAN, base=(0.5, 0.5, 0.5))
+    b.add_mesh(verts, tris, m)
+    cam = Camera.make(look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 8, 8, 40.0)
+    scene = b.build(camera=cam)
+    log(f"cluster bench: {tris.shape[0]} tris")
+
+    t0 = time.time()
+    ct = ClusterTracer(scene)
+    build_s = time.time() - t0
+    log(f"  build: {build_s:.1f}s, {ct.data.n_clusters} clusters")
+
+    minT = jnp.full((B,), 1e-4)
+    maxT = jnp.full((B,), jnp.inf)
+
+    # coherent: camera-style rays from z=4 toward jittered points on mesh
+    ro_c = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 4.0]), (B, 3))
+    tgt = rs.randn(B, 3).astype(np.float32) * 0.5
+    rd_c = jnp.asarray(tgt) - ro_c
+    rd_c = rd_c / jnp.linalg.norm(rd_c, axis=-1, keepdims=True)
+    # incoherent: random origins in the bounding box, random dirs
+    ro_i = jnp.asarray(rs.rand(B, 3).astype(np.float32) * 3 - 1.5)
+    rd_i = rs.randn(B, 3).astype(np.float32)
+    rd_i = jnp.asarray(rd_i / np.linalg.norm(rd_i, axis=-1, keepdims=True))
+
+    out = dict(tris=int(tris.shape[0]), clusters=int(ct.data.n_clusters),
+               build_s=round(build_s, 2))
+    for name, (ro, rd) in [("coherent", (ro_c, rd_c)),
+                           ("incoherent", (ro_i, rd_i))]:
+        t0 = time.time()
+        hr = ct.closest(scene, ro, rd, minT, maxT)
+        jax.block_until_ready(hr.t)
+        first = time.time() - t0
+        best = np.inf
+        for _ in range(3):
+            t0 = time.time()
+            hr = ct.closest(scene, ro, rd, minT, maxT)
+            jax.block_until_ready(hr.t)
+            best = min(best, time.time() - t0)
+        mrays = B / best / 1e6
+        hitrate = float(np.asarray(hr.hit).mean())
+        out[name] = dict(first_s=round(first, 2), best_s=round(best, 4),
+                         mrays=round(mrays, 2), hit_rate=round(hitrate, 3))
+        log(f"  {name}: first={first:.1f}s best={best:.4f}s "
+            f"-> {mrays:.2f} Mrays/s (hit {hitrate:.2f})")
+    # shadow
+    t0 = time.time()
+    oc = ct.occluded(scene, ro_i, rd_i, minT, jnp.full((B,), 2.0))
+    jax.block_until_ready(oc)
+    first = time.time() - t0
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        oc = ct.occluded(scene, ro_i, rd_i, minT, jnp.full((B,), 2.0))
+        jax.block_until_ready(oc)
+        best = min(best, time.time() - t0)
+    out["shadow_incoherent"] = dict(first_s=round(first, 2),
+                                    best_s=round(best, 4),
+                                    mrays=round(B / best / 1e6, 2))
+    log(f"  shadow: best={best:.4f}s -> {B/best/1e6:.2f} Mrays/s")
+    RESULTS["cluster_100k"] = out
+    save()
+
+
+def smoke():
+    """On-chip small render compared against the CPU golden statistics
+    (catches platform numerics — VERDICT weak #9)."""
+    from vimg_tpu.render.mega import render_megakernel
+    from vimg_tpu.scene.json_loader import load_json_scene
+
+    scene, st = load_json_scene("/root/reference/scenes/disney_spheres.json")
+    st = dataclasses.replace(st, width=180, height=80, spp=16)
+    scene = scene.replace(camera=dataclasses.replace(
+        scene.camera, width=180, height=80))
+    img = render_megakernel(scene, st, rows=16)
+    m = float(np.asarray(img).mean())
+    finite = bool(np.isfinite(np.asarray(img)).all())
+    RESULTS["smoke"] = dict(mean=m, finite=finite)
+    log(f"smoke: mean={m:.5f} finite={finite}")
+    save()
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", default="")
+    ap.add_argument("--out", default=OUT)
+    ap.add_argument("--rows", type=int, nargs="+", default=[16, 32, 64])
+    ap.add_argument("--spp", type=int, default=32)
+    a = ap.parse_args()
+    OUT = a.out
+    skip = set(a.skip.split(","))
+    log(f"backend={jax.default_backend()}")
+    if "mega" not in skip:
+        bench_mega(tuple(a.rows), a.spp)
+    if "cluster" not in skip:
+        bench_cluster()
+    if "smoke" not in skip:
+        smoke()
+    log("session done")

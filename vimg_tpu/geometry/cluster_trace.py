@@ -1,0 +1,346 @@
+"""TPU-native mesh traversal: SAH-treelet cluster streaming in Pallas.
+
+The classic per-ray BVH walk (geometry/bvh.py, reference include/bvh.h:
+87-226) is gather-bound on TPU: per-lane random reads from the node table
+have no VPU datapath (~0.01 Mrays/s measured on v5e). This backend
+restructures traversal so EVERY memory access is dense:
+
+- the SAH tree (same builders as bvh.py) is cut into treelet clusters of
+  <= K triangles; each cluster is one contiguous (K, 16) block of
+  plane/dual-basis triangle constants (soa_intersect formulation) plus a
+  precomputed AABB,
+- a Pallas kernel runs a grid over (ray tiles x clusters): the Pallas
+  pipeline double-buffers each cluster block HBM->SMEM while the previous
+  one is tested; per cluster the tile does ONE dense slab test (current
+  best_t as tmax, so closer hits shrink the interval) and skips the K
+  dense triangle tests with @pl.when unless some ray in the tile touches
+  the AABB,
+- results live in VMEM output blocks revisited across the cluster axis
+  (matmul-reduction pattern); no scatter, no gather, no divergence.
+
+Cluster skipping is tile-coherent rather than ray-coherent: primary rays
+skip nearly everything; diffuse bounce tiles pay more — the trade that
+keeps the inner loop dense VPU work (the measured 560 M prim-tests/s
+regime) instead of pointer chasing.
+
+Spheres are not clustered (mesh scenes carry at most a handful); the
+tracer tests them densely on the XLA side and merges by min-t.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vimg_tpu.geometry import intersect
+from vimg_tpu.geometry.bvh import build_bvh_numpy
+from vimg_tpu.scene import ir
+
+CLUSTER_K = 64          # triangles per cluster (pad with inert zero rows)
+TILE_ROWS = 16          # ray tile = TILE_ROWS * 128 lanes
+ROW16 = 16              # floats per packed triangle row (12 used)
+
+
+# ---------------------------------------------------------------------------
+# host-side build: SAH tree -> treelet clusters
+# ---------------------------------------------------------------------------
+
+def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
+    """Greedy treelet cut: maximal subtrees with <= max_k prims become
+    clusters (contiguous ranges of the build permutation)."""
+    node_count = built["node_count"]
+    node_right = built["node_right"]
+    N = node_count.shape[0]
+    # subtree prim counts/ranges via an iterative postorder
+    lo = np.full(N, -1, np.int64)
+    hi = np.full(N, -1, np.int64)
+    stack = [(0, False)]
+    while stack:
+        n, done = stack.pop()
+        if node_count[n] > 0:          # leaf
+            lo[n] = node_start[n]
+            hi[n] = node_start[n] + node_count[n]
+            continue
+        if done:
+            l, r = n + 1, node_right[n]
+            lo[n] = min(lo[l], lo[r])
+            hi[n] = max(hi[l], hi[r])
+            continue
+        stack.append((n, True))
+        stack.append((node_right[n], False))
+        stack.append((n + 1, False))
+
+    clusters = []
+    stack = [0]
+    while stack:
+        n = stack.pop()
+        if hi[n] - lo[n] <= max_k or node_count[n] > 0:
+            clusters.append((int(lo[n]), int(hi[n])))
+        else:
+            stack.append(int(node_right[n]))
+            stack.append(n + 1)
+    return clusters
+
+
+def _tri_constants_f32(verts, tri_vidx):
+    """Plane + dual-basis constants (f64 precompute, f32 store) — same
+    formulation as soa_intersect.build_constants."""
+    v = np.asarray(verts, np.float64)
+    p0 = v[tri_vidx[:, 0]]
+    e1 = v[tri_vidx[:, 1]] - p0
+    e2 = v[tri_vidx[:, 2]] - p0
+    n = np.cross(e1, e2)
+    n2 = np.maximum((n * n).sum(1, keepdims=True), 1e-300)
+    m1 = np.cross(e2, n) / n2
+    m2 = np.cross(n, e1) / n2
+    return np.concatenate([
+        n, (p0 * n).sum(1, keepdims=True),
+        m1, (p0 * m1).sum(1, keepdims=True),
+        m2, (p0 * m2).sum(1, keepdims=True)], axis=1).astype(np.float32)
+
+
+class ClusterData:
+    """Packed cluster tables (host numpy; device arrays built lazily)."""
+
+    def __init__(self, scene: ir.Scene, max_k=CLUSTER_K):
+        verts = np.asarray(scene.verts)
+        tvidx = np.asarray(scene.tri_vidx)
+        T = tvidx.shape[0]
+        p = verts[tvidx]
+        bmin = p.min(axis=1)
+        bmax = p.max(axis=1)
+        centers = p.mean(axis=1)
+        built = build_bvh_numpy(bmin, bmax, centers)
+        order = built["order"]
+        ranges = cut_clusters(built, built["node_start"], max_k)
+
+        C = len(ranges)
+        tri_rows = np.zeros((C, max_k, ROW16), np.float32)
+        perm = np.full((C * max_k,), 0, np.int32)
+        valid = np.zeros((C * max_k,), bool)
+        aabbs = np.zeros((C, 8), np.float32)
+        consts = _tri_constants_f32(verts, tvidx)
+        for c, (s, e) in enumerate(ranges):
+            ids = order[s:e]
+            k = ids.shape[0]
+            tri_rows[c, :k, :12] = consts[ids]
+            perm[c * max_k: c * max_k + k] = ids
+            valid[c * max_k: c * max_k + k] = True
+            aabbs[c, :3] = bmin[ids].min(axis=0)
+            aabbs[c, 3:6] = bmax[ids].max(axis=0)
+        self.n_clusters = C
+        self.max_k = max_k
+        self.tri_rows = tri_rows
+        self.perm = perm
+        self.aabbs = aabbs
+        self.n_tris = T
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_trace_kernel(n_clusters, max_k, tile_rows, any_hit):
+    shape = (tile_rows, 128)
+
+    def kernel(aabb_ref, tri_ref,
+               rox, roy, roz, rdx, rdy, rdz, tmin_ref, tmax_ref,
+               bt_ref, code_ref, bu_ref, bv_ref):
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _():
+            bt_ref[:] = tmax_ref[:]
+            code_ref[:] = jnp.full(shape, -1.0, jnp.float32)
+            bu_ref[:] = jnp.zeros(shape, jnp.float32)
+            bv_ref[:] = jnp.zeros(shape, jnp.float32)
+
+        ox, oy, oz = rox[:], roy[:], roz[:]
+        dx, dy, dz = rdx[:], rdy[:], rdz[:]
+        minT = tmin_ref[:]
+        best_t = bt_ref[:]
+
+        # dense slab test vs this cluster's AABB, interval [minT, best_t]
+        bxl, byl, bzl = aabb_ref[0, 0], aabb_ref[0, 1], aabb_ref[0, 2]
+        bxh, byh, bzh = aabb_ref[0, 3], aabb_ref[0, 4], aabb_ref[0, 5]
+        idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+        idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+        idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        t0x = (bxl - ox) * idx
+        t1x = (bxh - ox) * idx
+        t0y = (byl - oy) * idy
+        t1y = (byh - oy) * idy
+        t0z = (bzl - oz) * idz
+        t1z = (bzh - oz) * idz
+        tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                      jnp.minimum(t0y, t1y)),
+                          jnp.maximum(jnp.minimum(t0z, t1z), minT))
+        tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.minimum(jnp.maximum(t0z, t1z), best_t))
+        live = tin <= tout
+        if any_hit:
+            # rays already occluded (best_t = -inf) are done
+            live = live & (best_t > -jnp.inf)
+
+        @pl.when(jnp.any(live))
+        def _():
+            bt = bt_ref[:]
+            code = code_ref[:]
+            bu = bu_ref[:]
+            bv = bv_ref[:]
+            for k in range(max_k):
+                nx = tri_ref[k, 0]
+                ny = tri_ref[k, 1]
+                nz = tri_ref[k, 2]
+                d0 = tri_ref[k, 3]
+                m1x = tri_ref[k, 4]
+                m1y = tri_ref[k, 5]
+                m1z = tri_ref[k, 6]
+                c1 = tri_ref[k, 7]
+                m2x = tri_ref[k, 8]
+                m2y = tri_ref[k, 9]
+                m2z = tri_ref[k, 10]
+                c2 = tri_ref[k, 11]
+                ro_n = ox * nx + oy * ny + oz * nz
+                rd_n = dx * nx + dy * ny + dz * nz
+                par = jnp.abs(rd_n) < 1e-22
+                t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                u = (ox * m1x + oy * m1y + oz * m1z - c1
+                     + t * (dx * m1x + dy * m1y + dz * m1z))
+                v = (ox * m2x + oy * m2y + oz * m2z - c2
+                     + t * (dx * m2x + dy * m2y + dz * m2z))
+                hit = (~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                       & (t >= minT) & (t < bt) & live)
+                if any_hit:
+                    bt = jnp.where(hit, -jnp.inf, bt)
+                else:
+                    fcode = (c * max_k + k).astype(jnp.float32)
+                    code = jnp.where(hit, fcode, code)
+                    bu = jnp.where(hit, u, bu)
+                    bv = jnp.where(hit, v, bv)
+                    bt = jnp.where(hit, t, bt)
+            bt_ref[:] = bt
+            if not any_hit:
+                code_ref[:] = code
+                bu_ref[:] = bu
+                bv_ref[:] = bv
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_trace_fn(n_tiles, n_clusters, max_k, tile_rows, any_hit,
+                    interpret):
+    kernel = _make_trace_kernel(n_clusters, max_k, tile_rows, any_hit)
+    shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
+
+    ray_spec = pl.BlockSpec((tile_rows, 128), lambda i, c: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_rows, 128), lambda i, c: (i, 0),
+                            memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, n_clusters),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i, c: (c, 0),
+                         memory_space=pltpu.SMEM),            # cluster aabb
+            pl.BlockSpec((max_k, ROW16), lambda i, c: (c, 0),
+                         memory_space=pltpu.SMEM),            # cluster tris
+        ] + [ray_spec] * 8,
+        out_shape=(shape, shape, shape, shape),
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# tracer facade
+# ---------------------------------------------------------------------------
+
+def _pack_rays(x, n_pad):
+    x = jnp.pad(x, (0, n_pad - x.shape[0]))
+    return x.reshape(-1, 128)
+
+
+class ClusterTracer:
+    """Mesh tracer: Pallas cluster streaming for tris + dense XLA spheres.
+
+    Replaces the reference's per-ray stack traversal (include/bvh.h:87-226,
+    simd_hit.h:121-156) with tile-coherent dense streaming — the TPU
+    analogue of its SIMD sibling-AABB packets.
+    """
+
+    def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
+                 tile_rows=TILE_ROWS):
+        self.data = ClusterData(scene, max_k)
+        self.tile_rows = tile_rows
+        self.tri_rows = jnp.asarray(
+            self.data.tri_rows.reshape(self.data.n_clusters * max_k, ROW16))
+        self.aabbs = jnp.asarray(self.data.aabbs)
+        self.perm = jnp.asarray(self.data.perm)
+        from vimg_tpu.geometry.soa_intersect import build_constants
+        _, self.sph_c = build_constants(scene)
+        if self.sph_c is not None:
+            self.sph_c = np.asarray(self.sph_c)
+
+    def _run(self, ro, rd, minT, maxT, any_hit):
+        B = ro.shape[0]
+        tile = self.tile_rows * 128
+        n_pad = -(-B // tile) * tile
+        n_tiles = n_pad // self.tile_rows // 128
+        interpret = jax.default_backend() == "cpu"
+        fn = _build_trace_fn(n_tiles, self.data.n_clusters, self.data.max_k,
+                             self.tile_rows, any_hit, interpret)
+        args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]
+                + [_pack_rays(rd[:, k], n_pad) for k in range(3)]
+                + [_pack_rays(minT, n_pad),
+                   _pack_rays(jnp.broadcast_to(maxT, (B,)), n_pad)])
+        bt, code, bu, bv = fn(self.aabbs, self.tri_rows, *args)
+        flat = lambda a: a.reshape(-1)[:B]
+        return flat(bt), flat(code), flat(bu), flat(bv)
+
+    def closest(self, scene, ro, rd, minT, maxT):
+        bt, code, bu, bv = self._run(ro, rd, minT, maxT, any_hit=False)
+        found = code >= 0.0
+        slot = jnp.clip(code.astype(jnp.int32), 0, self.perm.shape[0] - 1)
+        tri_id = self.perm[slot]          # one dense gather, per-hit only
+        best_t = jnp.where(found, bt, jnp.inf)
+        best_type = jnp.full(ro.shape[:1], ir.PRIM_TRI, jnp.int32)
+        best_id = jnp.where(found, tri_id, 0).astype(jnp.int32)
+        u = 1.0 - bu - bv
+        v = bu
+        hr = intersect.HitResult(t=best_t, prim_type=best_type,
+                                 prim_id=best_id, u=jnp.where(found, u, 0.0),
+                                 v=jnp.where(found, v, 0.0))
+        if self.sph_c is not None:
+            hr = self._merge_spheres(scene, hr, ro, rd, minT, maxT)
+        return hr
+
+    def occluded(self, scene, ro, rd, minT, maxT):
+        bt, *_ = self._run(ro, rd, minT, maxT, any_hit=True)
+        occ = bt == -jnp.inf
+        if self.sph_c is not None:
+            from vimg_tpu.geometry.soa_intersect import _trace_impl
+            occ = occ | _trace_impl(None, self.sph_c, ro, rd, minT,
+                                    jnp.broadcast_to(maxT, occ.shape), True)
+        return occ
+
+    def _merge_spheres(self, scene, hr, ro, rd, minT, maxT):
+        from vimg_tpu.geometry.soa_intersect import _trace_impl
+        sh = _trace_impl(None, self.sph_c, ro, rd, minT,
+                         jnp.broadcast_to(maxT, hr.t.shape), False)
+        better = sh.t < hr.t
+        return intersect.HitResult(
+            t=jnp.where(better, sh.t, hr.t),
+            prim_type=jnp.where(better, ir.PRIM_SPHERE, hr.prim_type)
+            .astype(jnp.int32),
+            prim_id=jnp.where(better, sh.prim_id, hr.prim_id),
+            u=jnp.where(better, sh.u, hr.u),
+            v=jnp.where(better, sh.v, hr.v))

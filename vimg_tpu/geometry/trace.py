@@ -27,6 +27,7 @@ class BruteForceTracer:
 
 
 def make_tracer(scene: ir.Scene, force=None):
+    import jax
     n_prims = scene.n_tris() + scene.n_spheres()
     if force == "brute":
         return BruteForceTracer(scene)
@@ -38,11 +39,15 @@ def make_tracer(scene: ir.Scene, force=None):
         # limited to ~2e-3 rel error by this platform's matmul paths)
         from vimg_tpu.geometry.soa_intersect import SoATracer
         return SoATracer(scene)
+    if force == "cluster" or (force is None and scene.n_tris() > 0
+                              and jax.default_backend() != "cpu"):
+        # TPU mesh path: Pallas treelet-cluster streaming — dense VPU
+        # work only, no per-lane gathers (geometry/cluster_trace.py)
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        return ClusterTracer(scene)
+    return BVHTracer_lazy(scene, force)
+
+
+def BVHTracer_lazy(scene, force):
     from vimg_tpu.geometry.bvh import BVHTracer
-    import jax
-    if jax.default_backend() not in ("cpu",):
-        import warnings
-        warnings.warn(
-            "BVH traversal on TPU is currently gather-bound (~0.01 Mrays/s);"
-            " mesh scenes render correctly but slowly. See ROADMAP.md.")
     return BVHTracer(scene, builder="sweep" if force == "sweep" else "auto")

@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vimg_tpu.core import rng
 from vimg_tpu.render.mega import shade
-from vimg_tpu.render.mega.v3 import V3, dot, normalize, onb_from_normal, where
+from vimg_tpu.render.mega.v3 import (V3, bsel, dot, normalize,
+                                     onb_from_normal, where)
 from vimg_tpu.scene import ir
 
 MIN_T = 1e-4                 # reference Ray.minT
@@ -557,9 +558,15 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
         # ---- the persistent loop ---------------------------------------
         def body(st):
-            (m, d, active, fresh, prev_delta, non_spec,
+            (m, d, active_i, fresh_i, prev_delta_i, non_spec_i,
              ro, rd, tp, res, acc, eta_scale, prev_pdf,
              nseg, nshadow) = st
+            # bool lane flags ride the while carry as i32 — Mosaic can't
+            # legalize scf.yield of i1 vectors
+            active = active_i != 0
+            fresh = fresh_i != 0
+            prev_delta = prev_delta_i != 0
+            non_spec = non_spec_i != 0
 
             # regenerate idle lanes (wavefront refill, static schedule)
             busy = m < spp
@@ -575,7 +582,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             prev_pdf = jnp.where(gen, 0.0, prev_pdf)
             prev_delta = prev_delta & ~gen
             non_spec = non_spec & ~gen
-            fresh = jnp.where(gen, True, fresh)
+            fresh = fresh | gen
             active = busy
             nseg = nseg + jnp.sum(active, dtype=jnp.float32)
 
@@ -680,7 +687,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             ro = where(cont, p, ro)
             rd = where(cont, wo, rd)
             prev_pdf = jnp.where(cont, pdf2, prev_pdf)
-            prev_delta = jnp.where(cont, mat_delta, prev_delta)
+            prev_delta = bsel(cont, mat_delta, prev_delta)
             d = jnp.where(cont, d + 1, d)
             fresh = fresh & ~active
 
@@ -688,7 +695,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             acc = where(terminated, acc + res, acc)
             m = jnp.where(terminated, m + 1, m)
             active = cont
-            return (m, d, active, fresh, prev_delta, non_spec,
+            return (m, d, active.astype(jnp.int32),
+                    fresh.astype(jnp.int32), prev_delta.astype(jnp.int32),
+                    non_spec.astype(jnp.int32),
                     ro, rd, tp, res, acc, eta_scale, prev_pdf,
                     nseg, nshadow)
 
@@ -696,7 +705,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             return jnp.any(st[0] < spp)
 
         m0 = jnp.where(in_frame, 0, spp)
-        st = (m0, i0, b0, b0, b0, b0, z3, z3, z3, z3, z3,
+        st = (m0, i0, i0, i0, i0, i0, z3, z3, z3, z3, z3,
               f0 + 1.0, f0, jnp.float32(0.0), jnp.float32(0.0))
         st = jax.lax.while_loop(cond, body, st)
         acc = st[10]

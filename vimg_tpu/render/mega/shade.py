@@ -18,7 +18,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vimg_tpu.render.mega import v3
-from vimg_tpu.render.mega.v3 import (V3, cross, dot, normalize,
+from vimg_tpu.render.mega.v3 import (V3, bsel, cross, dot, normalize,
                                      onb_from_normal, onb_to_world, pow5,
                                      powf, where, world_to_onb)
 
@@ -298,7 +298,7 @@ def sample_rough_glass(dir_in, n_g, mat_eta, anisotropic, roughness,
         (1.0 - (1.0 - gh_dot_in ** 2) / (eta * eta)) > 0.0)
 
     dir_out = where(do_reflect, refl, refr)
-    valid = jnp.where(do_reflect, refl_valid, refr_valid)
+    valid = bsel(do_reflect, refl_valid, refr_valid)
     eta_out = jnp.where(do_reflect, 0.0, eta)
     return dir_out, eta_out, valid
 
@@ -453,9 +453,9 @@ def principled_sample(scene, p, wi, hit: Hit, rands, regularize):
     wo = where(pick_diff, d_dir,
                where(pick_clear, c_dir,
                      where(pick_metal, m_dir, g_dir)))
-    valid = jnp.where(pick_diff, d_valid,
-                      jnp.where(pick_clear, c_valid,
-                                jnp.where(pick_metal, m_valid, g_valid)))
+    valid = bsel(pick_diff, d_valid,
+                 bsel(pick_clear, c_valid,
+                      bsel(pick_metal, m_valid, g_valid)))
     eta = jnp.where(pick_glass, g_eta, zero)
     is_spec = ~pick_diff
     return wo, eta, is_spec, valid
@@ -509,7 +509,7 @@ def sample_mat(scene, mp, wi, hit: Hit, rands, regularize):
                          sample_hemisphere_cosine(rands["u"], rands["v"]))
         m = mp["is_lamb"]
         wo = where(m, d, wo)
-        valid = jnp.where(m, front, valid)
+        valid = bsel(m, front, valid)
 
     if scene.has_dielectric:
         d_wo, d_eta = dielectric_sample(mp, wi, hit, rands)
@@ -527,8 +527,8 @@ def sample_mat(scene, mp, wi, hit: Hit, rands, regularize):
         m = mp["is_prin"]
         wo = where(m, p_wo, wo)
         eta = jnp.where(m, p_eta, eta)
-        is_spec = jnp.where(m, p_spec, is_spec)
-        valid = jnp.where(m, p_valid, valid)
+        is_spec = bsel(m, p_spec, is_spec)
+        valid = bsel(m, p_valid, valid)
 
     return normalize(wo), eta, is_spec, valid
 

@@ -94,6 +94,12 @@ def where(m, a: V3, b: V3) -> V3:
               jnp.where(m, a.z, b.z))
 
 
+def bsel(m, a, b):
+    """Boolean select: Mosaic can't lower select_n on i1 vectors (it emits
+    an unsupported i8->i1 trunci), so use logic ops for bool operands."""
+    return (m & a) | (~m & b)
+
+
 def maxc(a: V3):
     """Componentwise max (for Russian roulette)."""
     return jnp.maximum(a.x, jnp.maximum(a.y, a.z))
