@@ -2,9 +2,9 @@
 
 Baseline: atom501/v-img renders disney_spheres (1800x800, 512 spp, MIS,
 Russian-roulette depth) in 57 s on a Ryzen 7 7700 => ~12.9 M camera paths/s
-(README.md:81, BASELINE.md). We render a timed slab of the same frame
-(identical estimator: persistent-wavefront MIS with lane refill) on one TPU
-chip and report camera paths/s vs that baseline.
+(README.md:81, BASELINE.md). We render the SAME full frame (identical
+estimator) on one TPU chip with the Pallas persistent-path megakernel
+(vimg_tpu/render/mega) and report camera paths/s vs that baseline.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -18,13 +18,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PATHS_PER_S = 12.9e6
 SCENE = "/root/reference/scenes/disney_spheres.json"
-SLAB_SPP = 32          # timed slab; full frame is 512 spp (extrapolated).
-# NB: the wavefront's RR drain tail is a fixed ~60 supersteps regardless of
-# slab size — small slabs under-report steady-state throughput.
+SPP = 512              # the reference's exact headline config
+ROWS = 32
 
 
 def main():
-    import jax
+    import jax  # noqa: F401  (backend init)
 
     if os.path.exists(SCENE):
         from vimg_tpu.scene.json_loader import load_json_scene
@@ -32,33 +31,40 @@ def main():
     else:
         from __graft_entry__ import _flagship_scene
         scene, settings = _flagship_scene()
+    settings = dataclasses.replace(settings, spp=SPP)
+    total = settings.width * settings.height * settings.spp
 
-    from vimg_tpu.geometry.trace import make_tracer
-    from vimg_tpu.render.wavefront import render_wavefront
+    from vimg_tpu.render.mega import render_megakernel, supports_megakernel
 
-    tracer = make_tracer(scene)
-    slab = dataclasses.replace(settings, spp=SLAB_SPP, batch_size=1 << 20)
-    total = slab.width * slab.height * slab.spp
-
-    # compile + warm run, then best-of-2 timed runs (the TPU tunnel in this
-    # environment shows ~2x run-to-run variance)
-    render_wavefront(scene, slab, tracer=tracer)
-    dt = float("inf")
-    stats = None
-    for _ in range(2):
+    if supports_megakernel(scene, settings):
+        # warm (compile) run, then best-of-2 timed runs (the TPU tunnel
+        # shows run-to-run variance)
+        _, stats = render_megakernel(scene, settings, rows=ROWS,
+                                     return_stats=True)
+        dt = stats["seconds"]
+        for _ in range(2):
+            _, s2 = render_megakernel(scene, settings, rows=ROWS,
+                                      return_stats=True)
+            if s2["seconds"] < dt:
+                dt, stats = s2["seconds"], s2
+        label = "megakernel mis"
+    else:  # pragma: no cover - fallback for exotic scenes
+        from vimg_tpu.geometry.trace import make_tracer
+        from vimg_tpu.render.wavefront import render_wavefront
+        tracer = make_tracer(scene)
+        render_wavefront(scene, settings, tracer=tracer)
         t0 = time.time()
-        _, s = render_wavefront(scene, slab, tracer=tracer,
-                                return_stats=True)
-        d = time.time() - t0
-        if d < dt:
-            dt, stats = d, s
+        _, stats = render_wavefront(scene, settings, tracer=tracer,
+                                    return_stats=True)
+        dt = time.time() - t0
+        label = "wavefront mis"
+
     paths_per_s = total / dt
     rays_per_s = (stats["segments"] + stats["shadow_rays"]) / dt
-
-    full_frame_s = settings.width * settings.height * 512 / paths_per_s
     result = {
-        "metric": ("camera paths/s, wavefront mis, disney_spheres "
-                   "1800x800@512spp (1 chip)"),
+        "metric": (f"camera paths/s, {label}, disney_spheres "
+                   f"{settings.width}x{settings.height}@{SPP}spp "
+                   f"(1 chip, full frame)"),
         "value": round(paths_per_s, 1),
         "unit": "paths/s",
         "vs_baseline": round(paths_per_s / BASELINE_PATHS_PER_S, 3),
@@ -66,8 +72,8 @@ def main():
     print(json.dumps(result))
     print(f"# rays/s/chip: {rays_per_s / 1e6:.2f}M "
           f"({stats['segments'] / 1e6:.1f}M segments + "
-          f"{stats['shadow_rays'] / 1e6:.1f}M shadow in {dt:.1f}s); "
-          f"est. full 512spp frame: {full_frame_s:.1f}s "
+          f"{stats['shadow_rays'] / 1e6:.1f}M shadow); "
+          f"full 512spp frame: {dt:.2f}s "
           f"(reference: 57s on Ryzen 7 7700)", file=sys.stderr)
 
 

@@ -240,11 +240,16 @@ def _bvh_levels(node_count, node_right):
 
 
 def build_scene_bvh(scene: ir.Scene, builder="auto") -> BVHArrays:
-    """builder: auto | native | sweep | numpy. 'sweep' is the reference's
-    -b 1 exact sweep-SAH (native only); others use binned SAH."""
+    """builder: auto | native | sweep | device | numpy. 'sweep' is the
+    reference's -b 1 exact sweep-SAH (native); 'device' runs the same
+    sweep-SAH on the accelerator (geometry/device_build.py); others use
+    binned SAH."""
     bmin, bmax, centers, ptype, pidx = scene_prim_bounds(scene)
     built = None
-    if builder in ("auto", "native", "sweep"):
+    if builder == "device":
+        from vimg_tpu.geometry.device_build import build_sweep_sah_device
+        built = build_sweep_sah_device(bmin, bmax, centers)
+    if built is None and builder in ("auto", "native", "sweep"):
         try:
             from vimg_tpu.runtime.native import build_bvh_native
             built = build_bvh_native(bmin, bmax, centers,

@@ -123,7 +123,6 @@ class ClusterData:
         tri_rows = np.zeros((C, max_k, ROW16), np.float32)
         perm = np.full((C * max_k,), 0, np.int32)
         valid = np.zeros((C * max_k,), bool)
-        aabbs = np.zeros((C, 8), np.float32)
         consts = _tri_constants_f32(verts, tvidx)
         for c, (s, e) in enumerate(ranges):
             ids = order[s:e]
@@ -131,13 +130,19 @@ class ClusterData:
             tri_rows[c, :k, :12] = consts[ids]
             perm[c * max_k: c * max_k + k] = ids
             valid[c * max_k: c * max_k + k] = True
-            aabbs[c, :3] = bmin[ids].min(axis=0)
-            aabbs[c, 3:6] = bmax[ids].max(axis=0)
+            # cluster AABB rides in the spare columns (12..15) of the first
+            # two rows: Pallas SMEM blocks must match the full minor dims,
+            # so a separate (1, 8) AABB block can't be expressed
+            lo = bmin[ids].min(axis=0)
+            hi = bmax[ids].max(axis=0)
+            tri_rows[c, 0, 12:15] = lo
+            tri_rows[c, 0, 15] = hi[0]
+            tri_rows[c, 1, 12] = hi[1]
+            tri_rows[c, 1, 13] = hi[2]
         self.n_clusters = C
         self.max_k = max_k
         self.tri_rows = tri_rows
         self.perm = perm
-        self.aabbs = aabbs
         self.n_tris = T
 
 
@@ -148,7 +153,7 @@ class ClusterData:
 def _make_trace_kernel(n_clusters, max_k, tile_rows, any_hit):
     shape = (tile_rows, 128)
 
-    def kernel(aabb_ref, tri_ref,
+    def kernel(tri_ref,
                rox, roy, roz, rdx, rdy, rdz, tmin_ref, tmax_ref,
                bt_ref, code_ref, bu_ref, bv_ref):
         c = pl.program_id(1)
@@ -166,8 +171,9 @@ def _make_trace_kernel(n_clusters, max_k, tile_rows, any_hit):
         best_t = bt_ref[:]
 
         # dense slab test vs this cluster's AABB, interval [minT, best_t]
-        bxl, byl, bzl = aabb_ref[0, 0], aabb_ref[0, 1], aabb_ref[0, 2]
-        bxh, byh, bzh = aabb_ref[0, 3], aabb_ref[0, 4], aabb_ref[0, 5]
+        # (AABB packed into the tri block's spare columns, see ClusterData)
+        bxl, byl, bzl = tri_ref[0, 12], tri_ref[0, 13], tri_ref[0, 14]
+        bxh, byh, bzh = tri_ref[0, 15], tri_ref[1, 12], tri_ref[1, 13]
         idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
         idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
         idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
@@ -248,8 +254,6 @@ def _build_trace_fn(n_tiles, n_clusters, max_k, tile_rows, any_hit,
         kernel,
         grid=(n_tiles, n_clusters),
         in_specs=[
-            pl.BlockSpec((1, 8), lambda i, c: (c, 0),
-                         memory_space=pltpu.SMEM),            # cluster aabb
             pl.BlockSpec((max_k, ROW16), lambda i, c: (c, 0),
                          memory_space=pltpu.SMEM),            # cluster tris
         ] + [ray_spec] * 8,
@@ -283,7 +287,6 @@ class ClusterTracer:
         self.tile_rows = tile_rows
         self.tri_rows = jnp.asarray(
             self.data.tri_rows.reshape(self.data.n_clusters * max_k, ROW16))
-        self.aabbs = jnp.asarray(self.data.aabbs)
         self.perm = jnp.asarray(self.data.perm)
         from vimg_tpu.geometry.soa_intersect import build_constants
         _, self.sph_c = build_constants(scene)
@@ -302,7 +305,7 @@ class ClusterTracer:
                 + [_pack_rays(rd[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(minT, n_pad),
                    _pack_rays(jnp.broadcast_to(maxT, (B,)), n_pad)])
-        bt, code, bu, bv = fn(self.aabbs, self.tri_rows, *args)
+        bt, code, bu, bv = fn(self.tri_rows, *args)
         flat = lambda a: a.reshape(-1)[:B]
         return flat(bt), flat(code), flat(bu), flat(bv)
 
