@@ -7,7 +7,6 @@ import pytest
 from tests.test_bvh import _random_tri_scene
 from vimg_tpu.geometry.intersect import intersect_bruteforce, occlude_bruteforce
 from vimg_tpu.geometry.mxu_intersect import MXUBruteForceTracer
-from vimg_tpu.geometry.pallas_intersect import PallasBruteForceTracer
 
 
 def _rays(n, seed=1):
@@ -20,8 +19,7 @@ def _rays(n, seed=1):
 
 @pytest.mark.parametrize("make", [
     lambda s: MXUBruteForceTracer(s),
-    lambda s: PallasBruteForceTracer(s, interpret=True),
-], ids=["mxu", "pallas-interpret"])
+], ids=["mxu"])
 def test_matches_reference(make):
     scene = _random_tri_scene(25, 6)
     tracer = make(scene)
