@@ -126,3 +126,16 @@ class TestGolden:
         corr = np.corrcoef(ours.mean(-1).ravel(),
                            golden.mean(-1).ravel())[0, 1]
         assert corr > 0.97
+
+
+class TestSharded:
+    def test_sharded_equals_single(self):
+        """Pixel-block sharding over the 8-device virtual mesh must equal
+        the single-device megakernel render exactly (disjoint film blocks,
+        identical per-block computation)."""
+        from vimg_tpu.render.mega.kernel import render_megakernel_sharded
+
+        scene, st = _simple_scene(spp=4)
+        single = render_megakernel(scene, st, rows=1)
+        multi = render_megakernel_sharded(scene, st, rows=1)
+        assert np.abs(single - multi).max() < 1e-6

@@ -247,7 +247,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
     Draw = rng.Draw
 
     def kernel(tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
-               cam_ref, film_r, film_g, film_b, stats_ref):
+               cam_ref, pix0_ref, film_r, film_g, film_b, stats_ref):
         g = pl.program_id(0)
 
         # ---- scene constants: read once, closure-captured --------------
@@ -274,7 +274,8 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
         lane = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-        pix = g * P + lane                      # one pixel per lane
+        # one pixel per lane; pix0 = this shard's first pixel (0 unsharded)
+        pix = pix0_ref[0, 0] + g * P + lane
         in_frame = pix < n_pixels
 
         # ---- stages ----------------------------------------------------
@@ -738,7 +739,7 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
     fn = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8,
         out_shape=(film_shape, film_shape, film_shape,
                    jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)),
         out_specs=(
@@ -759,6 +760,22 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
 _MEGA_CACHE = {}
 
 
+def _static_key(scene, static):
+    """Hashable digest of the static layout facts the kernel bakes in
+    (numeric table VALUES are runtime args)."""
+    return (static["nt"], static["ns"], static["n_mats"],
+            static["n_lights"], tuple(static["mat_type"]),
+            tuple(static["prim_mat"]),
+            tuple(bool(e) for e in static["prim_emissive"]),
+            tuple(static["tri_area"]),
+            tuple(static["light_is_tri"]), static["has_dof"],
+            static["any_sphere_light_prim"],
+            scene.has_lambertian, scene.has_dielectric,
+            scene.has_principled, scene.has_sheen, scene.has_clearcoat,
+            scene.has_aniso, scene.has_spec_trans,
+            bool(scene.bg_is_emissive))
+
+
 def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
                       rows=DEFAULT_ROWS, return_stats=False, progress=False):
     """Full-frame MIS render with the persistent Pallas megakernel."""
@@ -773,19 +790,7 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
         P = rows * 128
     n_blocks = -(-n_pixels // P)
 
-    # hashable key for the cached builder: static layout facts + table
-    # shapes (numeric table VALUES are runtime args)
-    static_key = (static["nt"], static["ns"], static["n_mats"],
-                  static["n_lights"], tuple(static["mat_type"]),
-                  tuple(static["prim_mat"]),
-                  tuple(bool(e) for e in static["prim_emissive"]),
-                  tuple(static["tri_area"]),
-                  tuple(static["light_is_tri"]), static["has_dof"],
-                  static["any_sphere_light_prim"],
-                  scene.has_lambertian, scene.has_dielectric,
-                  scene.has_principled, scene.has_sheen, scene.has_clearcoat,
-                  scene.has_aniso, scene.has_spec_trans,
-                  bool(scene.bg_is_emissive))
+    static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, n_blocks)
     _MEGA_CACHE[scene_key] = (scene, static)
     interpret = jax.default_backend() == "cpu"
@@ -794,7 +799,8 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
 
     args = (tables["tri_c"], tables["tri_v"], tables["sph_c"],
             tables["mat_base"], tables["mat_scalars"], tables["light_rows"],
-            tables["cam_row"].reshape(1, -1))
+            tables["cam_row"].reshape(1, -1),
+            np.zeros((1, 1), np.int32))
     t0 = time.time()
     film_r, film_g, film_b, stats = jax.block_until_ready(fn(*args))
     dt = time.time() - t0
@@ -813,6 +819,67 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
               f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
     if return_stats:
         return img, dict(segments=segs, shadow_rays=shadow, seconds=dt)
+    return img
+
+
+def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
+                              mesh=None, rows=DEFAULT_ROWS,
+                              return_stats=False):
+    """Multi-device megakernel render: pixel blocks are embarrassingly
+    parallel (each block writes a disjoint film window), so the block axis
+    is sharded over the mesh with shard_map — no collectives at all, the
+    per-device films concatenate into the frame. This is the megakernel's
+    analogue of parallel/sharding.py's ray-DP for the wavefront."""
+    import time
+    from jax.sharding import Mesh, PartitionSpec
+    shard_map = jax.shard_map
+
+    if mesh is None:
+        mesh = Mesh(np.asarray(jax.devices()), ("blocks",))
+    axis = mesh.axis_names[0]
+    n_dev = mesh.size
+
+    tables, static = _pack_scene(scene)
+    W, H, spp = settings.width, settings.height, settings.spp
+    n_pixels = W * H
+    P = rows * 128
+    n_blocks = -(-n_pixels // P)
+    blocks_per_dev = -(-n_blocks // n_dev)
+
+    static_key = _static_key(scene, static)
+    scene_key = (static_key, settings, rows, blocks_per_dev, "sharded")
+    _MEGA_CACHE[scene_key] = (scene, static)
+    interpret = jax.default_backend() == "cpu"
+    fn = _build_renderer(scene_key, settings, static_key, rows,
+                         blocks_per_dev, n_pixels, interpret)
+
+    args = (tables["tri_c"], tables["tri_v"], tables["sph_c"],
+            tables["mat_base"], tables["mat_scalars"], tables["light_rows"],
+            tables["cam_row"].reshape(1, -1))
+
+    def shard_fn(*tb):
+        i = jax.lax.axis_index(axis)
+        pix0 = (i * (blocks_per_dev * P)).astype(jnp.int32).reshape(1, 1)
+        return fn(*tb, pix0)
+
+    rep = PartitionSpec()
+    sh = PartitionSpec(axis)
+    sharded = jax.jit(shard_map(
+        shard_fn, mesh=mesh, in_specs=(rep,) * 7,
+        out_specs=(sh, sh, sh, sh), check_vma=False))
+    t0 = time.time()
+    film_r, film_g, film_b, stats = jax.block_until_ready(
+        sharded(*(jnp.asarray(a) for a in args)))
+    dt = time.time() - t0
+
+    img = np.stack([np.asarray(film_r).reshape(-1)[:n_pixels],
+                    np.asarray(film_g).reshape(-1)[:n_pixels],
+                    np.asarray(film_b).reshape(-1)[:n_pixels]],
+                   axis=-1).reshape(H, W, 3) / spp
+    if return_stats:
+        st = np.asarray(stats).reshape(-1, 8, 128)
+        return img, dict(segments=float(st[:, 0, 0].sum()),
+                         shadow_rays=float(st[:, 1, 0].sum()), seconds=dt)
     return img
 
 
