@@ -56,9 +56,11 @@ class TestSupports:
             scene, st = load_json_scene(p)
             assert supports_megakernel(scene, st), name
 
-    def test_non_mis_rejected(self):
+    def test_material_supported_normal_rejected(self):
         scene, st = _simple_scene()
         st = dataclasses.replace(st, integrator="material")
+        assert supports_megakernel(scene, st)
+        st = dataclasses.replace(st, integrator="s_normal")
         assert not supports_megakernel(scene, st)
 
     def test_mesh_scene_rejected(self):
@@ -78,6 +80,37 @@ class TestParity:
         ref = render_wavefront(scene, st, tracer=make_tracer(scene))
         img = render_megakernel(scene, st)
         assert np.abs(ref - img).max() < 1e-5
+
+    def test_material_mode_parity(self):
+        """Material (no-NEE) megakernel vs the XLA chunked loop integrator:
+        same counter-RNG streams, no epsilon races at unit scale."""
+        from vimg_tpu.render.render import render as render_loop
+        scene, st = _simple_scene(spp=16)
+        st = dataclasses.replace(st, integrator="material")
+        ref = render_loop(scene, st)
+        img = render_megakernel(scene, st)
+        assert np.abs(ref - img).mean() < 2e-3
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.999
+
+    def test_material_mode_glass_box(self):
+        """glass_in_box.json forced to integrator=material (the reference's
+        no-NEE path); the megakernel must agree with the loop integrator."""
+        from vimg_tpu.render.render import render as render_loop
+        p = os.path.join(SCENES, "glass_in_box.json")
+        if not os.path.exists(p):
+            pytest.skip("reference scenes unavailable")
+        scene, st = load_json_scene(p)
+        w = h = 40
+        scene = scene.replace(camera=dataclasses.replace(
+            scene.camera, width=w, height=h))
+        st = dataclasses.replace(st, width=w, height=h, spp=32,
+                                 batch_size=w * h * 32,
+                                 integrator="material")
+        assert supports_megakernel(scene, st)
+        ref = render_loop(scene, st)
+        img = render_megakernel(scene, st)
+        assert np.abs(ref - img).mean() < 8e-3
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.99
 
     def test_statistical_parity_cornell(self):
         """Large-scale scene: epsilon races flip individual samples between

@@ -9,19 +9,24 @@ restructures traversal so EVERY memory access is dense:
   <= K triangles; each cluster is one contiguous (K, 16) block of
   plane/dual-basis triangle constants (soa_intersect formulation) plus a
   precomputed AABB,
-- a Pallas kernel runs a grid over (ray tiles x clusters): the Pallas
-  pipeline double-buffers each cluster block HBM->SMEM while the previous
-  one is tested; per cluster the tile does ONE dense slab test (current
-  best_t as tmax, so closer hits shrink the interval) and skips the K
-  dense triangle tests with @pl.when unless some ray in the tile touches
-  the AABB,
-- results live in VMEM output blocks revisited across the cluster axis
-  (matmul-reduction pattern); no scatter, no gather, no divergence.
+- the cut nodes plus their ancestors form the SAH tree's restriction to
+  clusters (leaves = clusters, in preorder); that small tree (~2C nodes)
+  is threaded with skip links and its AABBs/metadata live in SMEM,
+- a Pallas kernel runs one grid step per RAY TILE; inside, a scalar
+  while_loop walks the cluster tree: dense slab test of the whole tile
+  vs the node AABB (current best_t as tmax, so closer hits shrink the
+  interval), advance ``hit ? n+1 : skip[n]``; at a live leaf, DMA the
+  cluster's (8, 128) tri block HBM->VMEM scratch and run the K dense
+  triangle tests (lax.cond),
+- best-hit state lives in while carries (VMEM/vregs); no scatter, no
+  gather, no per-ray divergence.
 
-Cluster skipping is tile-coherent rather than ray-coherent: primary rays
-skip nearly everything; diffuse bounce tiles pay more — the trade that
-keeps the inner loop dense VPU work (the measured 560 M prim-tests/s
-regime) instead of pointer chasing.
+Cluster skipping is tile-coherent rather than ray-coherent: a tile
+visits a node iff ANY of its rays touches the box. Primary/shadow tiles
+skip nearly everything; incoherent bounce tiles degrade toward streaming
+the whole cluster list — the trade that keeps the inner loop dense VPU
+work (the measured 560 M prim-tests/s regime) instead of pointer
+chasing (~0.01 Mrays/s measured for the per-lane gather walk).
 
 Spheres are not clustered (mesh scenes carry at most a handful); the
 tracer tests them densely on the XLA side and merges by min-t.
@@ -42,7 +47,8 @@ from vimg_tpu.geometry.bvh import build_bvh_numpy
 from vimg_tpu.scene import ir
 
 CLUSTER_K = 64          # triangles per cluster (pad with inert zero rows)
-TILE_ROWS = 16          # ray tile = TILE_ROWS * 128 lanes
+TILE_ROWS = 16          # ray tile = TILE_ROWS * 128 lanes (min 8: Pallas
+                        # requires block rows divisible by 8)
 ROW16 = 16              # floats per packed triangle row (12 used)
 
 
@@ -52,9 +58,17 @@ ROW16 = 16              # floats per packed triangle row (12 used)
 
 def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
     """Greedy treelet cut: maximal subtrees with <= max_k prims become
-    clusters (contiguous ranges of the build permutation)."""
+    clusters (contiguous ranges of the build permutation). Also emits the
+    SAH tree's *restriction* to the cut — internal nodes are the cut
+    nodes' ancestors, leaves are the clusters in preorder — threaded with
+    skip links for the kernel's tile-coherent walk.
+
+    Returns (ranges, tree) where tree = dict(lo (M,3), hi (M,3),
+    cid (M,) int32 cluster id or -1, skip (M,) int32)."""
     node_count = built["node_count"]
     node_right = built["node_right"]
+    node_min = built["node_min"]
+    node_max = built["node_max"]
     N = node_count.shape[0]
     # subtree prim counts/ranges via an iterative postorder
     lo = np.full(N, -1, np.int64)
@@ -75,16 +89,41 @@ def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
         stack.append((node_right[n], False))
         stack.append((n + 1, False))
 
-    clusters = []
-    stack = [0]
+    ranges = []
+    t_min, t_max, t_cid, t_right = [], [], [], []
+    stack = [(0, -1, False)]           # (orig node, parent new idx, is_right)
     while stack:
-        n = stack.pop()
+        n, parent, is_right = stack.pop()
+        idx = len(t_min)
+        if parent >= 0 and is_right:
+            t_right[parent] = idx
+        t_min.append(node_min[n])
+        t_max.append(node_max[n])
+        t_right.append(-1)
         if hi[n] - lo[n] <= max_k or node_count[n] > 0:
-            clusters.append((int(lo[n]), int(hi[n])))
+            t_cid.append(len(ranges))
+            ranges.append((int(lo[n]), int(hi[n])))
         else:
-            stack.append(int(node_right[n]))
-            stack.append(n + 1)
-    return clusters
+            t_cid.append(-1)
+            stack.append((int(node_right[n]), idx, True))
+            stack.append((n + 1, idx, False))
+
+    M = len(t_min)
+    # preorder skip links: skip(root)=M, skip(left)=right sibling,
+    # skip(right)=skip(parent); for a leaf skip == idx+1
+    t_skip = np.full(M, M, np.int32)
+    st2 = [(0, M)]
+    while st2:
+        i, s = st2.pop()
+        t_skip[i] = s
+        if t_cid[i] < 0:
+            r = t_right[i]
+            st2.append((i + 1, r))
+            st2.append((r, s))
+    tree = dict(lo=np.stack(t_min).astype(np.float32),
+                hi=np.stack(t_max).astype(np.float32),
+                cid=np.asarray(t_cid, np.int32), skip=t_skip)
+    return ranges, tree
 
 
 def _tri_constants_f32(verts, tri_vidx):
@@ -115,150 +154,221 @@ class ClusterData:
         bmin = p.min(axis=1)
         bmax = p.max(axis=1)
         centers = p.mean(axis=1)
-        built = build_bvh_numpy(bmin, bmax, centers)
+        # native C++ binned-SAH when available (the numpy build costs ~37 s
+        # at 100k tris); both produce the same preorder layout
+        try:
+            from vimg_tpu.runtime.native import build_bvh_native
+            built = build_bvh_native(bmin, bmax, centers, mode=0)
+        except Exception:
+            built = build_bvh_numpy(bmin, bmax, centers)
+        if "node_right" not in built:
+            # preorder invariant: left child = i+1, skip(left) = right
+            count = built["node_count"]
+            skip = built["node_skip"]
+            N = count.shape[0]
+            node_right = np.full(N, -1, np.int32)
+            inner = np.nonzero(count == 0)[0]
+            node_right[inner] = skip[np.minimum(inner + 1, N - 1)]
+            built["node_right"] = node_right
         order = built["order"]
-        ranges = cut_clusters(built, built["node_start"], max_k)
+        ranges, tree = cut_clusters(built, built["node_start"], max_k)
 
         C = len(ranges)
+        # each cluster's (max_k, 16) consts pack into (max_k*16/128, 128)
+        # rows: DMA slice shapes must be 128-aligned in the minor dim
         tri_rows = np.zeros((C, max_k, ROW16), np.float32)
         perm = np.full((C * max_k,), 0, np.int32)
-        valid = np.zeros((C * max_k,), bool)
         consts = _tri_constants_f32(verts, tvidx)
         for c, (s, e) in enumerate(ranges):
             ids = order[s:e]
             k = ids.shape[0]
             tri_rows[c, :k, :12] = consts[ids]
             perm[c * max_k: c * max_k + k] = ids
-            valid[c * max_k: c * max_k + k] = True
-            # cluster AABB rides in the spare columns (12..15) of the first
-            # two rows: Pallas SMEM blocks must match the full minor dims,
-            # so a separate (1, 8) AABB block can't be expressed
-            lo = bmin[ids].min(axis=0)
-            hi = bmax[ids].max(axis=0)
-            tri_rows[c, 0, 12:15] = lo
-            tri_rows[c, 0, 15] = hi[0]
-            tri_rows[c, 1, 12] = hi[1]
-            tri_rows[c, 1, 13] = hi[2]
         self.n_clusters = C
         self.max_k = max_k
-        self.tri_rows = tri_rows
+        # (C * max_k*16/128, 128) layout, row-major within each cluster
+        self.tri_rows = tri_rows.reshape(C * (max_k * ROW16 // 128), 128)
         self.perm = perm
         self.n_tris = T
+
+        # --- cluster-tree tables for SMEM -------------------------------
+        # SMEM rows are padded to 128 lanes (512 B) regardless of logical
+        # width, so narrow tables are packed: 16 node AABBs (8 f32 each)
+        # per f32 row, 128 node metas per i32 row.
+        M = tree["cid"].shape[0]
+        self.n_nodes = M
+        M16 = -(-M // 16) * 16
+        ab = np.zeros((M16, 8), np.float32)
+        ab[:M, 0:3] = tree["lo"]
+        ab[:M, 3:6] = tree["hi"]
+        self.node_aabbs = ab.reshape(M16 // 16, 128)
+        M128 = -(-M // 128) * 128
+        cid = np.full((M128,), 0, np.int32)
+        cid[:M] = tree["cid"]
+        skip = np.full((M128,), M, np.int32)
+        skip[:M] = tree["skip"]
+        self.node_cid = cid.reshape(-1, 128)
+        self.node_skip = skip.reshape(-1, 128)
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_trace_kernel(n_clusters, max_k, tile_rows, any_hit):
+def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
+    """One kernel instance per RAY TILE; the traversal is an in-kernel
+    scalar while_loop over the cluster tree (preorder + skip links, all
+    metadata in SMEM): dense slab test of the tile vs the node AABB,
+    advance ``any(live) ? n+1 : skip[n]``; at a live leaf, DMA the
+    cluster's tri block HBM->VMEM scratch and run the K dense triangle
+    tests under lax.cond.
+
+    Mosaic constraints honoured (found by bisection, see the axon
+    environment memory): DMA slices 128-aligned in the minor dim, no i1
+    while-carries (best-hit state is f32), SMEM tables packed to full
+    128-lane rows, scalar dynamic SMEM reads only."""
     shape = (tile_rows, 128)
 
-    def kernel(tri_ref,
+    rows_per_cluster = max_k * ROW16 // 128
+
+    def kernel(aabb_ref, cid_ref, skip_ref, tri_hbm,
                rox, roy, roz, rdx, rdy, rdz, tmin_ref, tmax_ref,
-               bt_ref, code_ref, bu_ref, bv_ref):
-        c = pl.program_id(1)
+               bt_ref, code_ref, bu_ref, bv_ref, tri_buf, dma_sem):
 
-        @pl.when(c == 0)
-        def _():
-            bt_ref[:] = tmax_ref[:]
-            code_ref[:] = jnp.full(shape, -1.0, jnp.float32)
-            bu_ref[:] = jnp.zeros(shape, jnp.float32)
-            bv_ref[:] = jnp.zeros(shape, jnp.float32)
-
+        def tconst(k, j):
+            flat = k * ROW16 + j
+            return tri_buf[flat // 128, flat % 128]
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
         minT = tmin_ref[:]
-        best_t = bt_ref[:]
-
-        # dense slab test vs this cluster's AABB, interval [minT, best_t]
-        # (AABB packed into the tri block's spare columns, see ClusterData)
-        bxl, byl, bzl = tri_ref[0, 12], tri_ref[0, 13], tri_ref[0, 14]
-        bxh, byh, bzh = tri_ref[0, 15], tri_ref[1, 12], tri_ref[1, 13]
         idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
         idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
         idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
-        t0x = (bxl - ox) * idx
-        t1x = (bxh - ox) * idx
-        t0y = (byl - oy) * idy
-        t1y = (byh - oy) * idy
-        t0z = (bzl - oz) * idz
-        t1z = (bzh - oz) * idz
-        tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                      jnp.minimum(t0y, t1y)),
-                          jnp.maximum(jnp.minimum(t0z, t1z), minT))
-        tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                       jnp.maximum(t0y, t1y)),
-                           jnp.minimum(jnp.maximum(t0z, t1z), best_t))
-        live = tin <= tout
-        if any_hit:
-            # rays already occluded (best_t = -inf) are done
-            live = live & (best_t > -jnp.inf)
 
-        @pl.when(jnp.any(live))
-        def _():
-            bt = bt_ref[:]
-            code = code_ref[:]
-            bu = bu_ref[:]
-            bv = bv_ref[:]
-            for k in range(max_k):
-                nx = tri_ref[k, 0]
-                ny = tri_ref[k, 1]
-                nz = tri_ref[k, 2]
-                d0 = tri_ref[k, 3]
-                m1x = tri_ref[k, 4]
-                m1y = tri_ref[k, 5]
-                m1z = tri_ref[k, 6]
-                c1 = tri_ref[k, 7]
-                m2x = tri_ref[k, 8]
-                m2y = tri_ref[k, 9]
-                m2z = tri_ref[k, 10]
-                c2 = tri_ref[k, 11]
-                ro_n = ox * nx + oy * ny + oz * nz
-                rd_n = dx * nx + dy * ny + dz * nz
-                par = jnp.abs(rd_n) < 1e-22
-                t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
-                u = (ox * m1x + oy * m1y + oz * m1z - c1
-                     + t * (dx * m1x + dy * m1y + dz * m1z))
-                v = (ox * m2x + oy * m2y + oz * m2z - c2
-                     + t * (dx * m2x + dy * m2y + dz * m2z))
-                hit = (~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                       & (t >= minT) & (t < bt) & live)
-                if any_hit:
-                    bt = jnp.where(hit, -jnp.inf, bt)
-                else:
-                    fcode = (c * max_k + k).astype(jnp.float32)
-                    code = jnp.where(hit, fcode, code)
-                    bu = jnp.where(hit, u, bu)
-                    bv = jnp.where(hit, v, bv)
-                    bt = jnp.where(hit, t, bt)
-            bt_ref[:] = bt
-            if not any_hit:
-                code_ref[:] = code
-                bu_ref[:] = bu
-                bv_ref[:] = bv
+        def cond(carry):
+            return carry[0] < n_nodes
+
+        def body(carry):
+            n, bt0, code0, bu0, bv0 = carry
+            cid = cid_ref[n // 128, n % 128]
+            # always-DMA (internal nodes fetch cluster max(cid,0) and drop
+            # it): uniform start/wait keeps the semaphore balanced and the
+            # copy overlaps the slab test below
+            c = jnp.maximum(cid, 0)
+            dma = pltpu.make_async_copy(
+                tri_hbm.at[pl.ds(c * rows_per_cluster, rows_per_cluster), :],
+                tri_buf, dma_sem)
+            dma.start()
+
+            # dense slab test vs the node AABB over [minT, best_t]
+            # (16 AABBs per 128-wide SMEM row — see ClusterData)
+            arow = n // 16
+            acol = (n % 16) * 8
+            bxl = aabb_ref[arow, acol + 0]
+            byl = aabb_ref[arow, acol + 1]
+            bzl = aabb_ref[arow, acol + 2]
+            bxh = aabb_ref[arow, acol + 3]
+            byh = aabb_ref[arow, acol + 4]
+            bzh = aabb_ref[arow, acol + 5]
+            t0x = (bxl - ox) * idx
+            t1x = (bxh - ox) * idx
+            t0y = (byl - oy) * idy
+            t1y = (byh - oy) * idy
+            t0z = (bzl - oz) * idz
+            t1z = (bzh - oz) * idz
+            tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                          jnp.minimum(t0y, t1y)),
+                              jnp.maximum(jnp.minimum(t0z, t1z), minT))
+            tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.minimum(jnp.maximum(t0z, t1z), bt0))
+            live = tin <= tout
+            if any_hit:
+                live = live & (bt0 > -jnp.inf)
+            any_live = jnp.any(live)
+            dma.wait()
+
+            def tri_tests(carry):
+                bt, code, bu, bv = carry
+                for k in range(max_k):
+                    nx = tconst(k, 0)
+                    ny = tconst(k, 1)
+                    nz = tconst(k, 2)
+                    d0 = tconst(k, 3)
+                    m1x = tconst(k, 4)
+                    m1y = tconst(k, 5)
+                    m1z = tconst(k, 6)
+                    c1 = tconst(k, 7)
+                    m2x = tconst(k, 8)
+                    m2y = tconst(k, 9)
+                    m2z = tconst(k, 10)
+                    c2 = tconst(k, 11)
+                    ro_n = ox * nx + oy * ny + oz * nz
+                    rd_n = dx * nx + dy * ny + dz * nz
+                    par = jnp.abs(rd_n) < 1e-22
+                    t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                    u = (ox * m1x + oy * m1y + oz * m1z - c1
+                         + t * (dx * m1x + dy * m1y + dz * m1z))
+                    v = (ox * m2x + oy * m2y + oz * m2z - c2
+                         + t * (dx * m2x + dy * m2y + dz * m2z))
+                    hit = (~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                           & (t >= minT) & (t < bt) & live)
+                    if any_hit:
+                        bt = jnp.where(hit, -jnp.inf, bt)
+                    else:
+                        fcode = (c * max_k + k).astype(jnp.float32)
+                        code = jnp.where(hit, fcode, code)
+                        bu = jnp.where(hit, u, bu)
+                        bv = jnp.where(hit, v, bv)
+                        bt = jnp.where(hit, t, bt)
+                return bt, code, bu, bv
+
+            is_leaf = cid >= 0
+            bt, code, bu, bv = jax.lax.cond(
+                any_live & is_leaf, tri_tests, lambda cr: cr,
+                (bt0, code0, bu0, bv0))
+
+            n_next = jnp.where(any_live, n + 1,
+                               skip_ref[n // 128, n % 128])
+            if any_hit:
+                # early out once every lane is occluded
+                n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next, n_nodes)
+            return n_next, bt, code, bu, bv
+
+        z = jnp.zeros(shape, jnp.float32)
+        init = (jnp.int32(0), tmax_ref[:], z - 1.0, z, z)
+        _, bt, code, bu, bv = jax.lax.while_loop(cond, body, init)
+        bt_ref[:] = bt
+        code_ref[:] = code
+        bu_ref[:] = bu
+        bv_ref[:] = bv
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
-def _build_trace_fn(n_tiles, n_clusters, max_k, tile_rows, any_hit,
+def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
                     interpret):
-    kernel = _make_trace_kernel(n_clusters, max_k, tile_rows, any_hit)
+    kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit)
     shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
 
-    ray_spec = pl.BlockSpec((tile_rows, 128), lambda i, c: (i, 0),
+    ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((tile_rows, 128), lambda i, c: (i, 0),
+    out_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     fn = pl.pallas_call(
         kernel,
-        grid=(n_tiles, n_clusters),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((max_k, ROW16), lambda i, c: (c, 0),
-                         memory_space=pltpu.SMEM),            # cluster tris
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # node AABBs 16/row
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # node cid 128/row
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # node skip 128/row
+            pl.BlockSpec(memory_space=pltpu.ANY),       # tris stay in HBM
         ] + [ray_spec] * 8,
         out_shape=(shape, shape, shape, shape),
         out_specs=(out_spec, out_spec, out_spec, out_spec),
+        scratch_shapes=[pltpu.VMEM((max_k * ROW16 // 128, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
     )
     return jax.jit(fn)
@@ -283,37 +393,46 @@ class ClusterTracer:
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=TILE_ROWS):
+        if tile_rows % 8 or tile_rows < 8:
+            raise ValueError("tile_rows must be a positive multiple of 8")
         self.data = ClusterData(scene, max_k)
         self.tile_rows = tile_rows
-        self.tri_rows = jnp.asarray(
-            self.data.tri_rows.reshape(self.data.n_clusters * max_k, ROW16))
+        self.tri_rows = jnp.asarray(self.data.tri_rows)
+        self.node_tables = (jnp.asarray(self.data.node_aabbs),
+                            jnp.asarray(self.data.node_cid),
+                            jnp.asarray(self.data.node_skip))
         self.perm = jnp.asarray(self.data.perm)
         from vimg_tpu.geometry.soa_intersect import build_constants
         _, self.sph_c = build_constants(scene)
         if self.sph_c is not None:
             self.sph_c = np.asarray(self.sph_c)
+        # whole-call jit: a standalone (non-jitted) caller would otherwise
+        # pay one tunnel round trip per eager op (~50 ms floor measured)
+        self._closest_jit = jax.jit(self._closest_impl)
+        self._occluded_jit = jax.jit(self._occluded_impl)
 
-    def _run(self, ro, rd, minT, maxT, any_hit):
+    def _run(self, nodes, tri_rows, ro, rd, minT, maxT, any_hit):
         B = ro.shape[0]
         tile = self.tile_rows * 128
         n_pad = -(-B // tile) * tile
         n_tiles = n_pad // self.tile_rows // 128
         interpret = jax.default_backend() == "cpu"
-        fn = _build_trace_fn(n_tiles, self.data.n_clusters, self.data.max_k,
+        fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
                              self.tile_rows, any_hit, interpret)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(rd[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(minT, n_pad),
                    _pack_rays(jnp.broadcast_to(maxT, (B,)), n_pad)])
-        bt, code, bu, bv = fn(self.tri_rows, *args)
+        bt, code, bu, bv = fn(*nodes, tri_rows, *args)
         flat = lambda a: a.reshape(-1)[:B]
         return flat(bt), flat(code), flat(bu), flat(bv)
 
-    def closest(self, scene, ro, rd, minT, maxT):
-        bt, code, bu, bv = self._run(ro, rd, minT, maxT, any_hit=False)
+    def _closest_impl(self, nodes, tri_rows, perm, ro, rd, minT, maxT):
+        bt, code, bu, bv = self._run(nodes, tri_rows, ro, rd, minT, maxT,
+                                     any_hit=False)
         found = code >= 0.0
-        slot = jnp.clip(code.astype(jnp.int32), 0, self.perm.shape[0] - 1)
-        tri_id = self.perm[slot]          # one dense gather, per-hit only
+        slot = jnp.clip(code.astype(jnp.int32), 0, perm.shape[0] - 1)
+        tri_id = perm[slot]               # one dense gather, per-hit only
         best_t = jnp.where(found, bt, jnp.inf)
         best_type = jnp.full(ro.shape[:1], ir.PRIM_TRI, jnp.int32)
         best_id = jnp.where(found, tri_id, 0).astype(jnp.int32)
@@ -323,11 +442,11 @@ class ClusterTracer:
                                  prim_id=best_id, u=jnp.where(found, u, 0.0),
                                  v=jnp.where(found, v, 0.0))
         if self.sph_c is not None:
-            hr = self._merge_spheres(scene, hr, ro, rd, minT, maxT)
+            hr = self._merge_spheres(hr, ro, rd, minT, maxT)
         return hr
 
-    def occluded(self, scene, ro, rd, minT, maxT):
-        bt, *_ = self._run(ro, rd, minT, maxT, any_hit=True)
+    def _occluded_impl(self, nodes, tri_rows, ro, rd, minT, maxT):
+        bt, *_ = self._run(nodes, tri_rows, ro, rd, minT, maxT, any_hit=True)
         occ = bt == -jnp.inf
         if self.sph_c is not None:
             from vimg_tpu.geometry.soa_intersect import _trace_impl
@@ -335,7 +454,15 @@ class ClusterTracer:
                                     jnp.broadcast_to(maxT, occ.shape), True)
         return occ
 
-    def _merge_spheres(self, scene, hr, ro, rd, minT, maxT):
+    def closest(self, scene, ro, rd, minT, maxT):
+        return self._closest_jit(self.node_tables, self.tri_rows, self.perm,
+                                 ro, rd, minT, maxT)
+
+    def occluded(self, scene, ro, rd, minT, maxT):
+        return self._occluded_jit(self.node_tables, self.tri_rows,
+                                  ro, rd, minT, maxT)
+
+    def _merge_spheres(self, hr, ro, rd, minT, maxT):
         from vimg_tpu.geometry.soa_intersect import _trace_impl
         sh = _trace_impl(None, self.sph_c, ro, rd, minT,
                          jnp.broadcast_to(maxT, hr.t.shape), False)

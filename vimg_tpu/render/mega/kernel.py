@@ -48,8 +48,8 @@ DEFAULT_ROWS = 32            # lanes per block = ROWS * 128
 def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     """True when the scene fits the megakernel's compiled feature set:
     analytic prims (<=64), const-color materials, tri/sphere lights,
-    constant background, MIS integrator."""
-    if settings.integrator != "mis":
+    constant background, MIS or material (no-NEE) integrator."""
+    if settings.integrator not in ("mis", "material"):
         return False
     n_prims = scene.n_tris() + scene.n_spheres()
     if not (0 < n_prims <= 64):
@@ -245,6 +245,11 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
     max_depth = settings.max_depth
     P = rows * 128
     Draw = rng.Draw
+    # "mis" = NEE + balance-heuristic weights (mis_integrator.cpp);
+    # "material" = forward tracing, no NEE (mat_integrator.cpp) — emission
+    # collected on absorb, background added on every miss, analytic
+    # eval_div_pdf cancellations (lambertian -> albedo, dielectric -> 1)
+    mis = settings.integrator == "mis"
 
     def kernel(tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
                cam_ref, pix0_ref, film_r, film_g, film_b, stats_ref):
@@ -599,36 +604,49 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             found = active & hit
             missed = active & ~hit
             front = dot(hi.n_s, rd) < 0.0
-            emissive = found & mp["is_light"]
             em = where(front, mp["base"], z3)
-
-            light_pdf = surf_pdf(best_id, ro, p, rd) / max(NL, 1)
-            dvec = ro - p
-            dist2 = jnp.maximum(dot(dvec, dvec), 1e-20)
-            G2 = jnp.abs(dot(n_g, normalize(dvec))) / dist2
-            w1 = fresh | prev_delta | (prev_pdf == 0.0)
-            w_hit = jnp.where(w1, 1.0, _balance(prev_pdf * G2, light_pdf))
-            res = where(emissive, res + tp * em * w_hit, res)
-
-            # background on miss (mis_integrator.cpp:36-38, 173-186)
-            bgp = INV_4PI / max(NL, 1)
-            w_bg = jnp.where(w1, 1.0, _balance(prev_pdf, bgp))
-            add_bg = missed & (fresh | bool(scene.bg_is_emissive))
             bg_col = V3(f0 + bg[0], f0 + bg[1], f0 + bg[2])
-            res = where(add_bg, res + tp * bg_col * w_bg, res)
 
-            terminated = missed | emissive
-            cont = found & ~emissive
+            if mis:
+                emissive = found & mp["is_light"]
+                light_pdf = surf_pdf(best_id, ro, p, rd) / max(NL, 1)
+                dvec = ro - p
+                dist2 = jnp.maximum(dot(dvec, dvec), 1e-20)
+                G2 = jnp.abs(dot(n_g, normalize(dvec))) / dist2
+                w1 = fresh | prev_delta | (prev_pdf == 0.0)
+                w_hit = jnp.where(w1, 1.0,
+                                  _balance(prev_pdf * G2, light_pdf))
+                res = where(emissive, res + tp * em * w_hit, res)
+
+                # background on miss (mis_integrator.cpp:36-38, 173-186)
+                bgp = INV_4PI / max(NL, 1)
+                w_bg = jnp.where(w1, 1.0, _balance(prev_pdf, bgp))
+                add_bg = missed & (fresh | bool(scene.bg_is_emissive))
+                res = where(add_bg, res + tp * bg_col * w_bg, res)
+
+                terminated = missed | emissive
+                cont = found & ~emissive
+            else:
+                # material integrator: every miss collects the background
+                # unweighted (mat_integrator.cpp:74-80); emissive hits fall
+                # through to sample_mat, which absorbs them below
+                res = where(missed, res + tp * bg_col, res)
+                terminated = missed
+                cont = found
 
             # ---- russian roulette (mis_integrator.cpp:153-167) ---------
-            rr_rand, _, _, _ = _uniform4(pix, samp, d, Draw.ROULETTE)
+            # the XLA loop draws RR with key d AFTER the bounce-d BSDF
+            # sample and trace; at this point in the restructured loop the
+            # counter is already d+1, so key/threshold use d-1 for exact
+            # estimator parity with integrators.py
+            rr_rand, _, _, _ = _uniform4(pix, samp, d - 1, Draw.ROULETTE)
             inv_es = 1.0 / eta_scale
             rr_max = jnp.minimum(
                 jnp.maximum(tp.x * inv_es,
                             jnp.maximum(tp.y * inv_es, tp.z * inv_es)),
                 ROULETTE_CLAMP)
             survive = rr_rand <= rr_max
-            do_rr = cont & (d > ROULETTE_THRESHOLD) & ~fresh
+            do_rr = cont & (d - 1 > ROULETTE_THRESHOLD) & ~fresh
             tp = where(do_rr & survive,
                        tp / jnp.maximum(rr_max, 1e-20), tp)
             rr_kill = do_rr & ~survive
@@ -639,9 +657,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 terminated = terminated | depth_kill
                 cont = cont & ~depth_kill
 
-            # ---- 2. NEE ------------------------------------------------
+            # ---- 2. NEE (MIS only) -------------------------------------
             mat_delta = mp["is_diel"]
-            if NL > 0:
+            if NL > 0 and mis:
                 pick, lr1, lr2, _ = _uniform4(pix, samp, d, Draw.LIGHT_SAMPLE)
                 ls_rad, ls_wi, ls_pdf, ls_dist, ls_G = sample_lights(
                     p, pick, lr1, lr2)
@@ -665,6 +683,10 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             wo, s_eta, is_spec, valid = shade.sample_mat(
                 scene, mp, rd, hi, rands, non_spec)
             absorbed = cont & ~valid
+            if not mis:
+                # absorb == emissive hit (DiffuseLight sample is invalid) or
+                # back-face: collect one-sided emission (mat_integrator.cpp)
+                res = where(absorbed & mp["is_light"], res + tp * em, res)
             terminated = terminated | absorbed
             cont = cont & valid
             non_spec = non_spec | (cont & ~is_spec)
@@ -674,21 +696,38 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                                   eta_scale / jnp.maximum(s_eta * s_eta,
                                                           1e-20), eta_scale)
 
-            f2, pdf2 = shade.eval_pdf(scene, mp, rd, wo, hi, non_spec)
-            nan_pdf = jnp.isnan(pdf2)
-            terminated = terminated | (cont & nan_pdf)
-            cont = cont & ~nan_pdf
+            if mis:
+                f2, pdf2 = shade.eval_pdf(scene, mp, rd, wo, hi, non_spec)
+                nan_pdf = jnp.isnan(pdf2)
+                terminated = terminated | (cont & nan_pdf)
+                cont = cont & ~nan_pdf
 
-            ratio = where(mat_delta, V3(f0 + 1.0, f0 + 1.0, f0 + 1.0),
-                          f2 / jnp.maximum(pdf2, 1e-20))
-            ratio = V3(*(jnp.where(jnp.isnan(r) | jnp.isinf(r), 0.0, r)
-                         for r in ratio))
+                ratio = where(mat_delta, V3(f0 + 1.0, f0 + 1.0, f0 + 1.0),
+                              f2 / jnp.maximum(pdf2, 1e-20))
+                ratio = V3(*(jnp.where(jnp.isnan(r) | jnp.isinf(r), 0.0, r)
+                             for r in ratio))
+                prev_pdf = jnp.where(cont, pdf2, prev_pdf)
+                prev_delta = bsel(cont, mat_delta, prev_delta)
+            else:
+                # analytic eval_div_pdf cancellations (bsdf.eval_div_pdf):
+                # lambertian -> albedo, dielectric -> 1, principled -> f/pdf
+                # guarded to 0 on pdf <= 0 / NaN
+                if scene.has_principled:
+                    f2, pdf2 = shade.eval_pdf(scene, mp, rd, wo, hi,
+                                              non_spec)
+                    ratio = where(pdf2 > 0.0,
+                                  f2 / jnp.maximum(pdf2, 1e-20), z3)
+                else:
+                    ratio = z3
+                if scene.has_lambertian:
+                    ratio = where(mp["is_lamb"], mp["base"], ratio)
+                if scene.has_dielectric:
+                    ratio = where(mp["is_diel"],
+                                  V3(f0 + 1.0, f0 + 1.0, f0 + 1.0), ratio)
             tp = where(cont, tp * ratio, tp)
 
             ro = where(cont, p, ro)
             rd = where(cont, wo, rd)
-            prev_pdf = jnp.where(cont, pdf2, prev_pdf)
-            prev_delta = bsel(cont, mat_delta, prev_delta)
             d = jnp.where(cont, d + 1, d)
             fresh = fresh & ~active
 

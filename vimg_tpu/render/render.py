@@ -71,7 +71,7 @@ def render_frame(scene, settings, tracer=None, progress=False,
     accelerators, the persistent wavefront for other full MIS frames, the
     chunked loop renderer otherwise."""
     name = integrator or settings.integrator
-    if use_wavefront and name == "mis":
+    if use_wavefront and name in ("mis", "material"):
         import dataclasses
         from vimg_tpu.render.mega import (render_megakernel,
                                           supports_megakernel)
@@ -81,9 +81,10 @@ def render_frame(scene, settings, tracer=None, progress=False,
         # tests; production CPU renders use the XLA wavefront
         if jax.default_backend() != "cpu" and supports_megakernel(scene, st):
             return render_megakernel(scene, st, progress=progress)
-        from vimg_tpu.render.wavefront import render_wavefront
-        return render_wavefront(scene, settings, tracer=tracer,
-                                progress=progress)
+        if name == "mis":
+            from vimg_tpu.render.wavefront import render_wavefront
+            return render_wavefront(scene, settings, tracer=tracer,
+                                    progress=progress)
     return render(scene, settings, tracer=tracer, progress=progress,
                   integrator=integrator)
 
