@@ -175,15 +175,34 @@ class ClusterData:
 
         C = len(ranges)
         # each cluster's (max_k, 16) consts pack into (max_k*16/128, 128)
-        # rows: DMA slice shapes must be 128-aligned in the minor dim
+        # rows: DMA slice shapes must be 128-aligned in the minor dim.
+        # Spare float slots (12..15 of each 16-wide tri row) carry:
+        #   slot 12        = material id (as f32) of tri k
+        #   tris 2s, 2s+1, slots 13..15 = sub-block s AABB lo / hi — each
+        #   run of 16 consecutive tris (BVH order, so spatially tight) gets
+        #   its own box; the kernel gates each 16-tri test group on it.
+        n_sub = max(max_k // 16, 1)
         tri_rows = np.zeros((C, max_k, ROW16), np.float32)
         perm = np.full((C * max_k,), 0, np.int32)
         consts = _tri_constants_f32(verts, tvidx)
+        tri_mat = np.asarray(scene.tri_mat, np.float32) \
+            if scene.tri_mat is not None else np.zeros(T, np.float32)
         for c, (s, e) in enumerate(ranges):
             ids = order[s:e]
             k = ids.shape[0]
             tri_rows[c, :k, :12] = consts[ids]
+            tri_rows[c, :k, 12] = tri_mat[ids]
             perm[c * max_k: c * max_k + k] = ids
+            for sb in range(n_sub):
+                sub = ids[sb * 16:(sb + 1) * 16]
+                if sub.size:
+                    lo = bmin[sub].min(axis=0)
+                    hi = bmax[sub].max(axis=0)
+                else:               # empty sub-block: inverted box, never hit
+                    lo = np.full(3, np.inf, np.float32)
+                    hi = np.full(3, -np.inf, np.float32)
+                tri_rows[c, 2 * sb, 13:16] = lo
+                tri_rows[c, 2 * sb + 1, 13:16] = hi
         self.n_clusters = C
         self.max_k = max_k
         # (C * max_k*16/128, 128) layout, row-major within each cluster
@@ -217,7 +236,8 @@ class ClusterData:
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
+def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
+                       count_stats=False):
     """One kernel instance per RAY TILE; the traversal is an in-kernel
     scalar while_loop over the cluster tree (preorder + skip links, all
     metadata in SMEM): dense slab test of the tile vs the node AABB,
@@ -235,7 +255,11 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
 
     def kernel(aabb_ref, cid_ref, skip_ref, tri_hbm,
                rox, roy, roz, rdx, rdy, rdz, tmin_ref, tmax_ref,
-               bt_ref, code_ref, bu_ref, bv_ref, tri_buf, dma_sem):
+               bt_ref, code_ref, bu_ref, bv_ref, *rest):
+        if count_stats:
+            stats_ref, tri_buf, dma_sem = rest
+        else:
+            tri_buf, dma_sem = rest
 
         def tconst(k, j):
             flat = k * ROW16 + j
@@ -251,7 +275,7 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
             return carry[0] < n_nodes
 
         def body(carry):
-            n, bt0, code0, bu0, bv0 = carry
+            n, bt0, code0, bu0, bv0, nv, nl = carry
             cid = cid_ref[n // 128, n % 128]
             # always-DMA (internal nodes fetch cluster max(cid,0) and drop
             # it): uniform start/wait keeps the semaphore balanced and the
@@ -290,9 +314,9 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
             any_live = jnp.any(live)
             dma.wait()
 
-            def tri_tests(carry):
+            def test16(sub0, carry):
                 bt, code, bu, bv = carry
-                for k in range(max_k):
+                for k in range(sub0, min(sub0 + 16, max_k)):
                     nx = tconst(k, 0)
                     ny = tconst(k, 1)
                     nz = tconst(k, 2)
@@ -325,6 +349,42 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
                         bt = jnp.where(hit, t, bt)
                 return bt, code, bu, bv
 
+            n_sub = max(max_k // 16, 1)
+
+            def tri_tests(carry):
+                # 16-tri sub-blocks, each gated on its own AABB (packed in
+                # the spare slots of tri rows 2s / 2s+1 — see ClusterData):
+                # a leaf where only one sub-box is live costs 1/n_sub of
+                # the dense tests. occluded (-inf) lanes fail tin<=tout.
+                if n_sub == 1:
+                    return test16(0, carry)
+                for s in range(n_sub):
+                    slx, sly, slz = (tconst(2 * s, 13), tconst(2 * s, 14),
+                                     tconst(2 * s, 15))
+                    shx, shy, shz = (tconst(2 * s + 1, 13),
+                                     tconst(2 * s + 1, 14),
+                                     tconst(2 * s + 1, 15))
+                    bt = carry[0]
+                    s0x = (slx - ox) * idx
+                    s1x = (shx - ox) * idx
+                    s0y = (sly - oy) * idy
+                    s1y = (shy - oy) * idy
+                    s0z = (slz - oz) * idz
+                    s1z = (shz - oz) * idz
+                    stin = jnp.maximum(jnp.maximum(jnp.minimum(s0x, s1x),
+                                                   jnp.minimum(s0y, s1y)),
+                                       jnp.maximum(jnp.minimum(s0z, s1z),
+                                                   minT))
+                    stout = jnp.minimum(jnp.minimum(jnp.maximum(s0x, s1x),
+                                                    jnp.maximum(s0y, s1y)),
+                                        jnp.minimum(jnp.maximum(s0z, s1z),
+                                                    bt))
+                    s_any = jnp.any(live & (stin <= stout))
+                    carry = jax.lax.cond(
+                        s_any, functools.partial(test16, s * 16),
+                        lambda cr: cr, carry)
+                return carry
+
             is_leaf = cid >= 0
             bt, code, bu, bv = jax.lax.cond(
                 any_live & is_leaf, tri_tests, lambda cr: cr,
@@ -335,29 +395,44 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit):
             if any_hit:
                 # early out once every lane is occluded
                 n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next, n_nodes)
-            return n_next, bt, code, bu, bv
+            nv = nv + 1.0
+            nl = nl + jnp.where(any_live & is_leaf, 1.0, 0.0)
+            return n_next, bt, code, bu, bv, nv, nl
 
         z = jnp.zeros(shape, jnp.float32)
-        init = (jnp.int32(0), tmax_ref[:], z - 1.0, z, z)
-        _, bt, code, bu, bv = jax.lax.while_loop(cond, body, init)
+        init = (jnp.int32(0), tmax_ref[:], z - 1.0, z, z,
+                jnp.float32(0.0), jnp.float32(0.0))
+        _, bt, code, bu, bv, nv, nl = jax.lax.while_loop(cond, body, init)
         bt_ref[:] = bt
         code_ref[:] = code
         bu_ref[:] = bu
         bv_ref[:] = bv
+        if count_stats:
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            stats_ref[:] = (jnp.where(col == 0, nv, 0.0)
+                            + jnp.where(col == 1, nl, 0.0))
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
 def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
-                    interpret):
-    kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit)
+                    interpret, count_stats=False):
+    kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
+                                count_stats)
     shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
 
     ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
+    out_shape = [shape, shape, shape, shape]
+    out_specs = [out_spec, out_spec, out_spec, out_spec]
+    if count_stats:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles * 8, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -367,8 +442,8 @@ def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # node skip 128/row
             pl.BlockSpec(memory_space=pltpu.ANY),       # tris stay in HBM
         ] + [ray_spec] * 8,
-        out_shape=(shape, shape, shape, shape),
-        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
         scratch_shapes=[pltpu.VMEM((max_k * ROW16 // 128, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA(())],
         interpret=interpret,
@@ -398,18 +473,30 @@ def _morton3(qx, qy, qz):
     return (_spread3(qx) << 2) | (_spread3(qy) << 1) | _spread3(qz)
 
 
-def ray_sort_key(ro, rd, lo, hi):
-    """Coherence key for ray re-binning: direction-major (6 bits/axis),
-    origin-minor (4 bits/axis) interleaved Morton code. Tiles of sorted
-    rays share a direction wedge and an origin cell, which is what the
-    cluster walk's tile-ANY culling needs; camera rays (identical origins)
-    degrade gracefully to direction order ~= raster order."""
-    qd = jnp.clip(((rd + 1.0) * 32.0), 0.0, 63.0).astype(jnp.int32)
+def ray_sort_key(ro, rd, lo, hi, mode="origin"):
+    """Coherence key for ray re-binning, interleaved Morton codes.
+
+    mode="origin": origin-major (5 bits/axis fine grid), direction-minor
+    (2 bits/axis octant). Tiles share an origin cell — the right key for
+    bounce/shadow rays whose origins lie on nearby surface points; camera
+    rays (identical origins) give equal origin bits and fall through to
+    direction octants + the stable sort's original (raster) order.
+
+    mode="dir": direction-major (6 bits/axis), origin-minor (4 bits/axis).
+    Tiles share a direction wedge — useful when origins span the scene
+    but directions align (e.g. all rays toward one distant light)."""
     ext = jnp.maximum(hi - lo, 1e-6)
-    qo = jnp.clip((ro - lo) / ext * 16.0, 0.0, 15.0).astype(jnp.int32)
-    kd = _morton3(qd[:, 0], qd[:, 1], qd[:, 2])          # 18 bits
-    ko = _morton3(qo[:, 0], qo[:, 1], qo[:, 2])          # 12 bits
-    return (kd << 12) | ko
+    if mode == "dir":
+        qd = jnp.clip(((rd + 1.0) * 32.0), 0.0, 63.0).astype(jnp.int32)
+        qo = jnp.clip((ro - lo) / ext * 16.0, 0.0, 15.0).astype(jnp.int32)
+        kd = _morton3(qd[:, 0], qd[:, 1], qd[:, 2])      # 18 bits
+        ko = _morton3(qo[:, 0], qo[:, 1], qo[:, 2])      # 12 bits
+        return (kd << 12) | ko
+    qo = jnp.clip((ro - lo) / ext * 32.0, 0.0, 31.0).astype(jnp.int32)
+    qd = jnp.clip(((rd + 1.0) * 2.0), 0.0, 3.0).astype(jnp.int32)
+    ko = _morton3(qo[:, 0], qo[:, 1], qo[:, 2])          # 15 bits
+    kd = _morton3(qd[:, 0], qd[:, 1], qd[:, 2])          # 6 bits
+    return (ko << 6) | kd
 
 
 class ClusterTracer:
@@ -421,12 +508,13 @@ class ClusterTracer:
     """
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
-                 tile_rows=TILE_ROWS, sort_rays=True):
+                 tile_rows=TILE_ROWS, sort_rays=True, sort_mode="origin"):
         if tile_rows % 8 or tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
         self.data = ClusterData(scene, max_k)
         self.tile_rows = tile_rows
         self.sort_rays = sort_rays
+        self.sort_mode = sort_mode
         self.bounds = (jnp.asarray(self.data.scene_lo),
                        jnp.asarray(self.data.scene_hi))
         self.tri_rows = jnp.asarray(self.data.tri_rows)
@@ -443,7 +531,8 @@ class ClusterTracer:
         self._closest_jit = jax.jit(self._closest_impl)
         self._occluded_jit = jax.jit(self._occluded_impl)
 
-    def _run(self, nodes, tri_rows, ro, rd, minT, maxT, any_hit):
+    def _run(self, nodes, tri_rows, ro, rd, minT, maxT, any_hit,
+             count_stats=False):
         B = ro.shape[0]
         tile = self.tile_rows * 128
         n_pad = -(-B // tile) * tile
@@ -457,7 +546,7 @@ class ClusterTracer:
         # lane's hit state is private, culling is conservative).
         do_sort = self.sort_rays and B > tile
         if do_sort:
-            key = ray_sort_key(ro, rd, *self.bounds)
+            key = ray_sort_key(ro, rd, *self.bounds, mode=self.sort_mode)
             perm = jnp.argsort(key)
             ro = jnp.take(ro, perm, axis=0)
             rd = jnp.take(rd, perm, axis=0)
@@ -466,14 +555,15 @@ class ClusterTracer:
 
         interpret = jax.default_backend() == "cpu"
         fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
-                             self.tile_rows, any_hit, interpret)
+                             self.tile_rows, any_hit, interpret, count_stats)
         # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
         # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(rd[:, k], n_pad) for k in range(3)]
                 + [_pack_rays(minT, n_pad),
                    _pack_rays(maxT, n_pad, fill=-jnp.inf)])
-        bt, code, bu, bv = fn(*nodes, tri_rows, *args)
+        out = fn(*nodes, tri_rows, *args)
+        bt, code, bu, bv = out[:4]
         flat = lambda a: a.reshape(-1)[:B]
         bt, code, bu, bv = flat(bt), flat(code), flat(bu), flat(bv)
         if do_sort:
@@ -481,7 +571,17 @@ class ClusterTracer:
                 return jnp.zeros_like(x).at[perm].set(x)
             bt, code, bu, bv = (unperm(bt), unperm(code),
                                 unperm(bu), unperm(bv))
+        if count_stats:
+            st = out[4].reshape(n_tiles, 8, 128)
+            return (bt, code, bu, bv), st[:, 0, :2]
         return bt, code, bu, bv
+
+    def trace_stats(self, ro, rd, minT, maxT, any_hit=False):
+        """Debug: per-tile (node visits, live leaf visits) for a batch —
+        the coherence diagnostic behind tile/K/sort-key tuning."""
+        _, st = self._run(self.node_tables, self.tri_rows, ro, rd, minT,
+                          maxT, any_hit, count_stats=True)
+        return np.asarray(st)
 
     def _closest_impl(self, nodes, tri_rows, perm, ro, rd, minT, maxT):
         bt, code, bu, bv = self._run(nodes, tri_rows, ro, rd, minT, maxT,
