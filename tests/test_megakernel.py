@@ -63,13 +63,23 @@ class TestSupports:
         st = dataclasses.replace(st, integrator="s_normal")
         assert not supports_megakernel(scene, st)
 
-    def test_mesh_scene_rejected(self):
+    def test_many_spheres_rejected(self):
         scene, st = _simple_scene()
-        # >64 prims -> BVH territory
+        # >64 spheres -> unrolled select chains don't scale; XLA path
         scene = scene.replace(sph_center=np.zeros((65, 3), np.float32),
                               sph_radius=np.ones((65,), np.float32),
                               sph_mat=np.zeros((65,), np.int32))
         assert not supports_megakernel(scene, st)
+
+    def test_mesh_scene_supported(self):
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+        scene = bumpy_sphere_scene(2000, width=64, height=32)
+        st = ir.RenderSettings(width=64, height=32, spp=4, max_depth=8,
+                               integrator="mis")
+        assert supports_megakernel(scene, st)
+        smooth = bumpy_sphere_scene(2000, width=64, height=32,
+                                    smooth_normals=True)
+        assert not supports_megakernel(smooth, st)  # vertex normals -> XLA
 
 
 class TestParity:
@@ -127,6 +137,45 @@ class TestParity:
         ref = render_wavefront(scene, st, tracer=make_tracer(scene))
         img = render_megakernel(scene, st)
         assert np.abs(ref - img).mean() < 6e-3
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.99
+
+
+class TestMesh:
+    def test_mesh_megakernel_parity(self):
+        """Mesh-mode megakernel (in-kernel cluster-tree walk) vs the XLA
+        wavefront with the cluster tracer: same estimator, same RNG
+        streams. The kernel's hit point is ro + t*rd while the XLA path
+        reconstructs barycentrically (documented divergence) — the ~1e-7
+        position difference flips rare epsilon races (~1 sample per few
+        thousand), so parity is statistical with a tight mean bound."""
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        scene = bumpy_sphere_scene(800, width=64, height=32)
+        st = ir.RenderSettings(width=64, height=32, spp=4, max_depth=8,
+                               integrator="mis", batch_size=1 << 14)
+        assert supports_megakernel(scene, st)
+        img = render_megakernel(scene, st, rows=16)
+        ref = render_wavefront(scene, st, tracer=ClusterTracer(scene))
+        assert np.isfinite(img).all()
+        d = np.abs(ref - img)
+        assert d.mean() < 1e-4
+        assert (d.max(-1) > 1e-5).mean() < 0.01  # <1% of pixels race
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.999
+
+    def test_mesh_megakernel_material_mode(self):
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        scene = bumpy_sphere_scene(500, width=48, height=24)
+        st = ir.RenderSettings(width=48, height=24, spp=4, max_depth=6,
+                               integrator="material", batch_size=1 << 14)
+        assert supports_megakernel(scene, st)
+        img = render_megakernel(scene, st, rows=16)
+        from vimg_tpu.render.render import render as render_loop
+        ref = render_loop(scene, st, tracer=ClusterTracer(scene))
+        assert np.isfinite(img).all()
+        assert np.abs(ref - img).mean() < 4e-3
         assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.99
 
 

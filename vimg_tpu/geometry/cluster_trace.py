@@ -237,13 +237,25 @@ class ClusterData:
 # ---------------------------------------------------------------------------
 
 def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
-                       count_stats=False):
+                       count_stats=False, mode="stream"):
     """One kernel instance per RAY TILE; the traversal is an in-kernel
     scalar while_loop over the cluster tree (preorder + skip links, all
     metadata in SMEM): dense slab test of the tile vs the node AABB,
-    advance ``any(live) ? n+1 : skip[n]``; at a live leaf, DMA the
-    cluster's tri block HBM->VMEM scratch and run the K dense triangle
-    tests under lax.cond.
+    advance ``any(live) ? n+1 : skip[n]``; at a live leaf, run the K
+    dense triangle tests under lax.cond.
+
+    ``mode`` picks where the cluster tri blocks live (measured on v5e:
+    the per-node HBM DMA latency, not compute, set the ~2.7 us/visit
+    floor of the original always-DMA design):
+      - "stream":          tris in HBM; every visit DMAs the cluster to a
+                           VMEM scratch, overlapping the slab test. For
+                           scenes whose packed tri table exceeds VMEM.
+      - "resident_dma":    whole tri table VMEM-resident; live leaves
+                           copy their block VMEM->VMEM (cheap) inside the
+                           leaf branch — internal visits do no copy.
+      - "resident_direct": whole table VMEM-resident; tri constants are
+                           read directly with a dynamic row offset — no
+                           copy at all.
 
     Mosaic constraints honoured (found by bisection, see the axon
     environment memory): DMA slices 128-aligned in the minor dim, no i1
@@ -257,13 +269,13 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                rox, roy, roz, rdx, rdy, rdz, tmin_ref, tmax_ref,
                bt_ref, code_ref, bu_ref, bv_ref, *rest):
         if count_stats:
-            stats_ref, tri_buf, dma_sem = rest
+            stats_ref = rest[0]
+            rest = rest[1:]
+        if mode == "resident_direct":
+            tri_buf = dma_sem = None
         else:
             tri_buf, dma_sem = rest
 
-        def tconst(k, j):
-            flat = k * ROW16 + j
-            return tri_buf[flat // 128, flat % 128]
         ox, oy, oz = rox[:], roy[:], roz[:]
         dx, dy, dz = rdx[:], rdy[:], rdz[:]
         minT = tmin_ref[:]
@@ -277,14 +289,26 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
         def body(carry):
             n, bt0, code0, bu0, bv0, nv, nl = carry
             cid = cid_ref[n // 128, n % 128]
-            # always-DMA (internal nodes fetch cluster max(cid,0) and drop
-            # it): uniform start/wait keeps the semaphore balanced and the
-            # copy overlaps the slab test below
             c = jnp.maximum(cid, 0)
-            dma = pltpu.make_async_copy(
-                tri_hbm.at[pl.ds(c * rows_per_cluster, rows_per_cluster), :],
-                tri_buf, dma_sem)
-            dma.start()
+            if mode == "stream":
+                # always-DMA (internal nodes fetch cluster max(cid,0) and
+                # drop it): uniform start/wait keeps the semaphore balanced
+                # and the copy overlaps the slab test below
+                dma = pltpu.make_async_copy(
+                    tri_hbm.at[pl.ds(c * rows_per_cluster,
+                                     rows_per_cluster), :],
+                    tri_buf, dma_sem)
+                dma.start()
+
+            if mode == "resident_direct":
+                def tconst(k, j):
+                    flat = k * ROW16 + j
+                    return tri_hbm[c * rows_per_cluster + flat // 128,
+                                   flat % 128]
+            else:
+                def tconst(k, j):
+                    flat = k * ROW16 + j
+                    return tri_buf[flat // 128, flat % 128]
 
             # dense slab test vs the node AABB over [minT, best_t]
             # (16 AABBs per 128-wide SMEM row — see ClusterData)
@@ -312,7 +336,8 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
             if any_hit:
                 live = live & (bt0 > -jnp.inf)
             any_live = jnp.any(live)
-            dma.wait()
+            if mode == "stream":
+                dma.wait()
 
             def test16(sub0, carry):
                 bt, code, bu, bv = carry
@@ -356,6 +381,14 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                 # the spare slots of tri rows 2s / 2s+1 — see ClusterData):
                 # a leaf where only one sub-box is live costs 1/n_sub of
                 # the dense tests. occluded (-inf) lanes fail tin<=tout.
+                if mode == "resident_dma":
+                    # copy only at live leaves, VMEM->VMEM (cheap)
+                    dma2 = pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(c * rows_per_cluster,
+                                         rows_per_cluster), :],
+                        tri_buf, dma_sem)
+                    dma2.start()
+                    dma2.wait()
                 if n_sub == 1:
                     return test16(0, carry)
                 for s in range(n_sub):
@@ -417,9 +450,9 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
 
 @functools.lru_cache(maxsize=32)
 def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
-                    interpret, count_stats=False):
+                    interpret, count_stats=False, mode="stream"):
     kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
-                                count_stats)
+                                count_stats, mode)
     shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
 
     ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
@@ -433,6 +466,11 @@ def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
                                               jnp.float32))
         out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
+    tri_space = pltpu.ANY if mode == "stream" else pltpu.VMEM
+    scratch = []
+    if mode != "resident_direct":
+        scratch = [pltpu.VMEM((max_k * ROW16 // 128, 128), jnp.float32),
+                   pltpu.SemaphoreType.DMA(())]
     fn = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -440,12 +478,11 @@ def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
             pl.BlockSpec(memory_space=pltpu.SMEM),      # node AABBs 16/row
             pl.BlockSpec(memory_space=pltpu.SMEM),      # node cid 128/row
             pl.BlockSpec(memory_space=pltpu.SMEM),      # node skip 128/row
-            pl.BlockSpec(memory_space=pltpu.ANY),       # tris stay in HBM
+            pl.BlockSpec(memory_space=tri_space),       # cluster tri table
         ] + [ray_spec] * 8,
         out_shape=tuple(out_shape),
         out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM((max_k * ROW16 // 128, 128), jnp.float32),
-                        pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
     return jax.jit(fn)
@@ -507,11 +544,20 @@ class ClusterTracer:
     analogue of its SIMD sibling-AABB packets.
     """
 
+    # VMEM budget for keeping the whole packed tri table on-chip (v5e has
+    # ~16 MB/core; leave room for ray blocks, outputs and vreg spills)
+    RESIDENT_BUDGET_BYTES = 12 * 2 ** 20
+
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
-                 tile_rows=TILE_ROWS, sort_rays=True, sort_mode="origin"):
+                 tile_rows=TILE_ROWS, sort_rays=True, sort_mode="origin",
+                 mode="auto"):
         if tile_rows % 8 or tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
         self.data = ClusterData(scene, max_k)
+        if mode == "auto":
+            fits = self.data.tri_rows.nbytes <= self.RESIDENT_BUDGET_BYTES
+            mode = "resident_direct" if fits else "stream"
+        self.mode = mode
         self.tile_rows = tile_rows
         self.sort_rays = sort_rays
         self.sort_mode = sort_mode
@@ -555,7 +601,8 @@ class ClusterTracer:
 
         interpret = jax.default_backend() == "cpu"
         fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
-                             self.tile_rows, any_hit, interpret, count_stats)
+                             self.tile_rows, any_hit, interpret, count_stats,
+                             self.mode)
         # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
         # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]

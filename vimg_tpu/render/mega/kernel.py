@@ -45,14 +45,23 @@ DEFAULT_ROWS = 32            # lanes per block = ROWS * 128
 # gating + host-side scene packing
 # ---------------------------------------------------------------------------
 
+# max mesh size for the in-kernel cluster walk: the packed cluster table
+# must stay VMEM-resident (~64 B/tri padded; ~16 MB VMEM on v5e)
+MESH_MEGA_MAX_TRIS = 140_000
+
+
 def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     """True when the scene fits the megakernel's compiled feature set:
-    analytic prims (<=64), const-color materials, tri/sphere lights,
-    constant background, MIS or material (no-NEE) integrator."""
+    const-color materials, tri/sphere lights, constant background, MIS or
+    material (no-NEE) integrator. Small analytic scenes (<=64 prims) run
+    fully unrolled; larger meshes (up to MESH_MEGA_MAX_TRIS) run the
+    in-kernel cluster-tree walk (geometry/cluster_trace.py layout)."""
     if settings.integrator not in ("mis", "material"):
         return False
     n_prims = scene.n_tris() + scene.n_spheres()
-    if not (0 < n_prims <= 64):
+    if not (0 < n_prims):
+        return False
+    if scene.n_tris() > MESH_MEGA_MAX_TRIS or scene.n_spheres() > 64:
         return False
     if scene.has_envmap or scene.has_image_tex or scene.has_checker:
         return False
@@ -84,17 +93,25 @@ def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
 
 def _pack_scene(scene: ir.Scene):
     """Flatten the scene into small numpy tables (the kernel's SMEM args)
-    plus static python metadata baked into the trace."""
+    plus static python metadata baked into the trace.
+
+    Scenes with more than 64 triangles switch to MESH mode: per-tri select
+    chains are impossible at that scale, so the tris ship as the cluster
+    tables of geometry/cluster_trace.py (packed (K,16) blocks + skip-link
+    cluster tree) and the kernel walks the tree instead of unrolling."""
     from vimg_tpu.geometry.soa_intersect import build_constants
     tri_c, sph_c = build_constants(scene)
     nt = scene.n_tris()
     ns = scene.n_spheres()
+    mesh = nt > 64
 
     # tables padded to >=1 row (zero-row SMEM operands don't lower)
-    tri_c = np.asarray(tri_c, np.float32) if tri_c is not None \
+    tri_c = np.asarray(tri_c, np.float32) if tri_c is not None and not mesh \
         else np.zeros((1, 12), np.float32)
     sph_c = np.asarray(sph_c, np.float32) if sph_c is not None \
         else np.zeros((1, 4), np.float32)
+    if mesh:
+        return _pack_scene_mesh(scene, sph_c)
 
     # tri vertex rows (p0, p1, p2, unit n) for barycentric hit points: the
     # hit point must be u*p0 + v*p1 + w*p2 exactly like
@@ -207,6 +224,91 @@ def _pack_scene(scene: ir.Scene):
     return tables, static
 
 
+def _pack_scene_mesh(scene: ir.Scene, sph_c):
+    """MESH-mode packing: cluster tables for the tris (VMEM + SMEM tree),
+    small SMEM tables for everything else. Per-tri shading data (normal,
+    material, area) is NOT tabulated per tri — the kernel captures it from
+    the cluster rows at hit time (plane normal = rows 0..2, material id =
+    row 12, tri area = |plane normal| / 2)."""
+    from vimg_tpu.geometry.cluster_trace import ClusterData
+    nt, ns = scene.n_tris(), scene.n_spheres()
+    cd = ClusterData(scene)
+
+    mat_base = np.asarray(scene.mat_base, np.float32).copy()
+    mtex = np.asarray(scene.mat_tex)
+    for k in range(mat_base.shape[0]):
+        if mtex.size and mtex[k, 0] >= 0:
+            mat_base[k] = np.asarray(scene.tex_cols)[mtex[k, 0], 0]
+    mat_scalars = np.asarray(scene.mat_scalars, np.float32)
+    mat_type = np.asarray(scene.mat_type)
+    sph_mat = [int(m) for m in np.asarray(scene.sph_mat)] if ns else []
+    sph_emissive = [mat_type[m] == ir.MAT_DIFFUSE_LIGHT for m in sph_mat]
+
+    def _f32_cross(a, b):
+        a = a.astype(np.float32)
+        b = b.astype(np.float32)
+        return np.stack([a[1] * b[2] - a[2] * b[1],
+                         a[2] * b[0] - a[0] * b[2],
+                         a[0] * b[1] - a[1] * b[0]])
+
+    def _f32_norm2(c):
+        return (c[0] * c[0] + c[1] * c[1]) + c[2] * c[2]
+
+    # light rows (same layout/op order as the analytic path)
+    lt = np.asarray(scene.light_type)
+    li = np.asarray(scene.light_idx)
+    light_is_tri = [bool(t == ir.LIGHT_TRI) for t in lt]
+    light_rows = np.zeros((max(len(lt), 1), 16), np.float32)
+    verts32 = np.asarray(scene.verts, np.float32)
+    tvidx = np.asarray(scene.tri_vidx)
+    tri_mat = np.asarray(scene.tri_mat)
+    sph_center32 = np.asarray(scene.sph_center, np.float32) \
+        if ns else np.zeros((0, 3), np.float32)
+    sph_radius32 = np.asarray(scene.sph_radius, np.float32) \
+        if ns else np.zeros((0,), np.float32)
+    for l, (t, idx) in enumerate(zip(lt, li)):
+        if t == ir.LIGHT_TRI:
+            p0, p1, p2 = verts32[tvidx[idx]]
+            c = _f32_cross(p1 - p0, p2 - p0)
+            n2 = _f32_norm2(c)
+            nrm = c * (np.float32(1.0)
+                       / np.sqrt(np.maximum(n2, np.float32(1e-38))))
+            a2 = _f32_norm2(_f32_cross(p2 - p0, p1 - p0))
+            area = np.sqrt(np.maximum(a2, np.float32(0.0))) / np.float32(2.0)
+            emit = mat_base[int(tri_mat[idx])]
+            light_rows[l] = np.concatenate(
+                [p0, p1, p2, nrm, [area], emit]).astype(np.float32)
+        elif t == ir.LIGHT_SPHERE:
+            emit = mat_base[sph_mat[idx]]
+            light_rows[l, :7] = np.concatenate(
+                [sph_center32[idx], [sph_radius32[idx]], emit])
+
+    cam = scene.camera
+    c2w = np.asarray(cam.cam2world, np.float32)
+    cam_row = np.concatenate([
+        [float(cam.vfov_deg), float(cam.aperture_radius),
+         float(cam.focal_dist), 0.0],
+        c2w[:3, :3].reshape(-1), c2w[:3, 3],
+        np.asarray(scene.bg_color, np.float32)]).astype(np.float32)
+
+    static = dict(
+        mesh=True, nt=nt, ns=ns, n_mats=int(mat_type.shape[0]),
+        n_lights=int(lt.shape[0]),
+        mat_type=[int(t) for t in mat_type],
+        prim_mat=sph_mat, prim_emissive=sph_emissive, tri_area=[],
+        light_is_tri=light_is_tri,
+        has_dof=float(cam.aperture_radius) > 0.0,
+        any_sphere_light_prim=any(sph_emissive),
+        n_nodes=cd.n_nodes, max_k=cd.max_k,
+        rows_per_cluster=cd.max_k * 16 // 128,
+    )
+    tables = dict(node_aabbs=cd.node_aabbs, node_cid=cd.node_cid,
+                  node_skip=cd.node_skip, ctri=cd.tri_rows, sph_c=sph_c,
+                  mat_base=mat_base, mat_scalars=mat_scalars,
+                  light_rows=light_rows, cam_row=cam_row)
+    return tables, static
+
+
 # ---------------------------------------------------------------------------
 # in-kernel helpers
 # ---------------------------------------------------------------------------
@@ -251,13 +353,24 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
     # eval_div_pdf cancellations (lambertian -> albedo, dielectric -> 1)
     mis = settings.integrator == "mis"
 
-    def kernel(tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
-               cam_ref, pix0_ref, film_r, film_g, film_b, stats_ref):
+    mesh = bool(static.get("mesh", False))
+
+    def kernel(*refs):
+        if mesh:
+            (aabb_ref, cid_ref, skip_ref, ctri_ref, sph_ref, matb_ref,
+             mats_ref, light_ref, cam_ref, pix0_ref,
+             film_r, film_g, film_b, stats_ref) = refs
+        else:
+            (tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
+             cam_ref, pix0_ref, film_r, film_g, film_b, stats_ref) = refs
         g = pl.program_id(0)
 
         # ---- scene constants: read once, closure-captured --------------
-        tris = [tuple(tri_ref[i, k] for k in range(12)) for i in range(nt)]
-        triv = [tuple(triv_ref[i, k] for k in range(12)) for i in range(nt)]
+        n_unroll = 0 if mesh else nt
+        tris = [tuple(tri_ref[i, k] for k in range(12))
+                for i in range(n_unroll)]
+        triv = [tuple(triv_ref[i, k] for k in range(12))
+                for i in range(n_unroll)]
         sphs = [tuple(sph_ref[j, k] for k in range(4)) for j in range(ns)]
         mat_base = [tuple(matb_ref[m, k] for k in range(3))
                     for m in range(static["n_mats"])]
@@ -340,32 +453,207 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 best_v = jnp.where(hit, v, best_v)
                 best_t = jnp.where(hit, t, best_t)
             if ns:
-                ro_rd = dot(ro, rd)
-                ro2 = dot(ro, ro)
-                rd2 = dot(rd, rd)
-                for j, (cx, cy, cz, r2) in enumerate(sphs):
-                    ro_c = ro.x * cx + ro.y * cy + ro.z * cz
-                    rd_c = rd.x * cx + rd.y * cy + rd.z * cz
-                    b_prime = rd_c - ro_rd
-                    cc = ro2 - 2.0 * ro_c + (cx * cx + cy * cy + cz * cz) - r2
-                    disc4 = b_prime * b_prime - rd2 * cc
-                    has = disc4 >= 0.0
-                    sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
-                    sign = jnp.where(b_prime > 0.0, 1.0, -1.0)
-                    q = b_prime + sign * sq
-                    x0 = _fdiv(cc, q)
-                    x1 = _fdiv(q, rd2)
-                    t0 = jnp.minimum(x0, x1)
-                    t1 = jnp.maximum(x0, x1)
-                    t0_ok = (t0 >= minT) & (t0 < best_t)
-                    t1_ok = (t1 >= minT) & (t1 < best_t)
-                    t = jnp.where(t0_ok, t0, t1)
-                    hit = has & (t0_ok | t1_ok)
-                    best_id = jnp.where(hit, nt + j, best_id)
-                    best_t = jnp.where(hit, t, best_t)
+                best_t, best_id = sphere_pass(ro, rd, minT, best_t, best_id,
+                                              lambda j: nt + j)
             if any_hit:
                 return best_id >= 0
             return best_t, best_id, best_u, best_v
+
+        def sphere_pass(ro, rd, minT, best_t, best_id, idf):
+            """Analytic sphere tests merged into (best_t, best_id); the id
+            of sphere j is idf(j) (nt+j unrolled, 1+j in mesh mode)."""
+            ro_rd = dot(ro, rd)
+            ro2 = dot(ro, ro)
+            rd2 = dot(rd, rd)
+            for j, (cx, cy, cz, r2) in enumerate(sphs):
+                ro_c = ro.x * cx + ro.y * cy + ro.z * cz
+                rd_c = rd.x * cx + rd.y * cy + rd.z * cz
+                b_prime = rd_c - ro_rd
+                cc = ro2 - 2.0 * ro_c + (cx * cx + cy * cy + cz * cz) - r2
+                disc4 = b_prime * b_prime - rd2 * cc
+                has = disc4 >= 0.0
+                sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+                sign = jnp.where(b_prime > 0.0, 1.0, -1.0)
+                q = b_prime + sign * sq
+                x0 = _fdiv(cc, q)
+                x1 = _fdiv(q, rd2)
+                t0 = jnp.minimum(x0, x1)
+                t1 = jnp.maximum(x0, x1)
+                t0_ok = (t0 >= minT) & (t0 < best_t)
+                t1_ok = (t1 >= minT) & (t1 < best_t)
+                t = jnp.where(t0_ok, t0, t1)
+                hit = has & (t0_ok | t1_ok)
+                best_id = jnp.where(hit, idf(j), best_id)
+                best_t = jnp.where(hit, t, best_t)
+            return best_t, best_id
+
+        # ---- mesh-mode traversal (geometry/cluster_trace.py layout) ----
+        # One in-kernel walk of the skip-link cluster tree per trace; the
+        # packed tri table is VMEM-resident and read directly with a
+        # dynamic row offset (the measured-fastest cluster mode). Shading
+        # inputs are captured AT HIT TIME from the cluster rows (plane
+        # normal rows 0..2, material id row 12) — no per-tri gather ever
+        # happens; the hit point is ro + t*rd (documented divergence from
+        # the XLA path's barycentric reconstruction).
+        if mesh:
+            n_nodes = static["n_nodes"]
+            rpc = static["rows_per_cluster"]
+            max_k = static["max_k"]
+            n_sub = max(max_k // 16, 1)
+
+        def trace_mesh(ro, rd, minT, tmax, any_hit=False):
+            ox, oy, oz = ro.x, ro.y, ro.z
+            dx, dy, dz = rd.x, rd.y, rd.z
+            idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+
+            def cond(carry):
+                return carry[0] < n_nodes
+
+            def body(carry):
+                if any_hit:
+                    n, bt0 = carry
+                else:
+                    n, bt0, code0, nx0, ny0, nz0, mat0 = carry
+                cid = cid_ref[n // 128, n % 128]
+                c = jnp.maximum(cid, 0)
+
+                def tconst(k, j):
+                    flat = k * 16 + j
+                    return ctri_ref[c * rpc + flat // 128, flat % 128]
+
+                arow = n // 16
+                acol = (n % 16) * 8
+                bxl = aabb_ref[arow, acol + 0]
+                byl = aabb_ref[arow, acol + 1]
+                bzl = aabb_ref[arow, acol + 2]
+                bxh = aabb_ref[arow, acol + 3]
+                byh = aabb_ref[arow, acol + 4]
+                bzh = aabb_ref[arow, acol + 5]
+                t0x = (bxl - ox) * idx
+                t1x = (bxh - ox) * idx
+                t0y = (byl - oy) * idy
+                t1y = (byh - oy) * idy
+                t0z = (bzl - oz) * idz
+                t1z = (bzh - oz) * idz
+                tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                              jnp.minimum(t0y, t1y)),
+                                  jnp.maximum(jnp.minimum(t0z, t1z), minT))
+                tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.minimum(jnp.maximum(t0z, t1z), bt0))
+                live = tin <= tout
+                if any_hit:
+                    live = live & (bt0 > -jnp.inf)
+                any_live = jnp.any(live)
+
+                def test16(sub0, carry):
+                    if any_hit:
+                        (bt,) = carry
+                    else:
+                        bt, code, nx, ny, nz, mat = carry
+                    for k in range(sub0, min(sub0 + 16, max_k)):
+                        tnx = tconst(k, 0)
+                        tny = tconst(k, 1)
+                        tnz = tconst(k, 2)
+                        d0 = tconst(k, 3)
+                        m1x = tconst(k, 4)
+                        m1y = tconst(k, 5)
+                        m1z = tconst(k, 6)
+                        c1 = tconst(k, 7)
+                        m2x = tconst(k, 8)
+                        m2y = tconst(k, 9)
+                        m2z = tconst(k, 10)
+                        c2 = tconst(k, 11)
+                        ro_n = ox * tnx + oy * tny + oz * tnz
+                        rd_n = dx * tnx + dy * tny + dz * tnz
+                        par = jnp.abs(rd_n) < 1e-22
+                        t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                        u = (ox * m1x + oy * m1y + oz * m1z - c1
+                             + t * (dx * m1x + dy * m1y + dz * m1z))
+                        v = (ox * m2x + oy * m2y + oz * m2z - c2
+                             + t * (dx * m2x + dy * m2y + dz * m2z))
+                        hh = (~par & (u >= 0.0) & (v >= 0.0)
+                              & (u + v <= 1.0) & (t >= minT) & (t < bt)
+                              & live)
+                        if any_hit:
+                            bt = jnp.where(hh, -jnp.inf, bt)
+                        else:
+                            code = jnp.where(hh, 0.0, code)
+                            nx = jnp.where(hh, tnx, nx)
+                            ny = jnp.where(hh, tny, ny)
+                            nz = jnp.where(hh, tnz, nz)
+                            mat = jnp.where(hh, tconst(k, 12), mat)
+                            bt = jnp.where(hh, t, bt)
+                    if any_hit:
+                        return (bt,)
+                    return bt, code, nx, ny, nz, mat
+
+                def tri_tests(carry):
+                    if n_sub == 1:
+                        return test16(0, carry)
+                    for s in range(n_sub):
+                        slx = tconst(2 * s, 13)
+                        sly = tconst(2 * s, 14)
+                        slz = tconst(2 * s, 15)
+                        shx = tconst(2 * s + 1, 13)
+                        shy = tconst(2 * s + 1, 14)
+                        shz = tconst(2 * s + 1, 15)
+                        bt = carry[0]
+                        s0x = (slx - ox) * idx
+                        s1x = (shx - ox) * idx
+                        s0y = (sly - oy) * idy
+                        s1y = (shy - oy) * idy
+                        s0z = (slz - oz) * idz
+                        s1z = (shz - oz) * idz
+                        stin = jnp.maximum(
+                            jnp.maximum(jnp.minimum(s0x, s1x),
+                                        jnp.minimum(s0y, s1y)),
+                            jnp.maximum(jnp.minimum(s0z, s1z), minT))
+                        stout = jnp.minimum(
+                            jnp.minimum(jnp.maximum(s0x, s1x),
+                                        jnp.maximum(s0y, s1y)),
+                            jnp.minimum(jnp.maximum(s0z, s1z), bt))
+                        s_any = jnp.any(live & (stin <= stout))
+                        carry = jax.lax.cond(
+                            s_any, functools.partial(test16, s * 16),
+                            lambda cr: cr, carry)
+                    return carry
+
+                is_leaf = cid >= 0
+                if any_hit:
+                    (bt,) = jax.lax.cond(any_live & is_leaf, tri_tests,
+                                         lambda cr: cr, (bt0,))
+                    n_next = jnp.where(any_live, n + 1,
+                                       skip_ref[n // 128, n % 128])
+                    n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next,
+                                       n_nodes)
+                    return n_next, bt
+                bt, code, nx, ny, nz, mat = jax.lax.cond(
+                    any_live & is_leaf, tri_tests, lambda cr: cr,
+                    (bt0, code0, nx0, ny0, nz0, mat0))
+                n_next = jnp.where(any_live, n + 1,
+                                   skip_ref[n // 128, n % 128])
+                return n_next, bt, code, nx, ny, nz, mat
+
+            if any_hit:
+                _, bt = jax.lax.while_loop(cond, body, (jnp.int32(0), tmax))
+                occ = bt == -jnp.inf
+                if ns:
+                    bt_s, id_s = sphere_pass(ro, rd, minT, tmax,
+                                             jnp.full(shape, -1, jnp.int32),
+                                             lambda j: 1 + j)
+                    occ = occ | (id_s >= 0)
+                return occ
+            init = (jnp.int32(0), tmax, f0 - 1.0, f0, f0, f0 + 1.0, f0)
+            _, bt, code, nx, ny, nz, mat = jax.lax.while_loop(
+                cond, body, init)
+            best_id = jnp.where(code >= 0.0, 0, -1)
+            if ns:
+                bt, best_id = sphere_pass(ro, rd, minT, bt, best_id,
+                                          lambda j: 1 + j)
+            return bt, best_id, V3(nx, ny, nz), mat
 
         def hit_frame(ro, rd, t, best_id, bu, bv):
             """Shading data for the winning prim: position, normals, ONB
@@ -405,6 +693,57 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             tangent, bitangent = onb_from_normal(n)
             return p, n, shade.Hit(n_s=n, n_g=n, tangent=tangent,
                                    bitangent=bitangent), mat_id
+
+        def hit_frame_mesh(ro, rd, t, best_id, n_tri, mat_tri):
+            """Mesh-mode shading frame: tri normal/material were captured
+            from the cluster rows during the walk (best_id 0 = tri,
+            1+j = sphere j); hit point is ro + t*rd."""
+            p = ro + rd * t
+            is_tri = best_id == 0
+            nn = normalize(n_tri)
+            n = where(is_tri, nn, z3)
+            mat_id = jnp.where(is_tri, mat_tri.astype(jnp.int32), 0)
+            if ns:
+                csel = z3
+                is_sph = best_id >= 1
+                for j, (cx, cy, cz, r2) in enumerate(sphs):
+                    m = best_id == 1 + j
+                    csel = where(m, V3(f0 + cx, f0 + cy, f0 + cz), csel)
+                    mat_id = jnp.where(m, static["prim_mat"][j], mat_id)
+                n = where(is_sph, normalize(p - csel), n)
+            tangent, bitangent = onb_from_normal(n)
+            return p, n, shade.Hit(n_s=n, n_g=n, tangent=tangent,
+                                   bitangent=bitangent), mat_id
+
+        def surf_pdf_mesh(best_id, n_tri, ro, p, rd):
+            """Mesh-mode area pdf of a BSDF-sampled light hit: tri area is
+            |plane normal|/2 (the unnormalized cross product the cluster
+            rows carry); spheres as in the unrolled path."""
+            area = 0.5 * jnp.sqrt(jnp.maximum(dot(n_tri, n_tri), 0.0))
+            pdf = jnp.where(best_id == 0,
+                            1.0 / jnp.maximum(area, 1e-20), f0)
+            if static["any_sphere_light_prim"]:
+                for j, (cx, cy, cz, r2) in enumerate(sphs):
+                    if not static["prim_emissive"][j]:
+                        continue
+                    c = V3(f0 + cx, f0 + cy, f0 + cz)
+                    toc = ro - c
+                    d2 = dot(toc, toc)
+                    inside = d2 <= r2
+                    sa = 4.0 * math.pi * r2
+                    cos_max = jnp.sqrt(jnp.clip(
+                        1.0 - r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
+                    pdf_cone = 1.0 / (2.0 * math.pi
+                                      * jnp.maximum(1.0 - cos_max, 1e-12))
+                    nrm = normalize(p - c)
+                    cosine = jnp.abs(dot(nrm, -rd))
+                    dd = p - ro
+                    dist2 = dot(dd, dd)
+                    spdf = jnp.where(inside, 1.0 / sa,
+                                     pdf_cone * cosine
+                                     / jnp.maximum(dist2, 1e-20))
+                    pdf = jnp.where(best_id == 1 + j, spdf, pdf)
+            return pdf
 
         def gather_mat(mat_id):
             """Per-lane material params via select chains (the in-kernel
@@ -595,10 +934,23 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             # ---- 1. trace + emissive/miss termination ------------------
             minT = f0 + MIN_T
             infT = f0 + jnp.inf
-            best_t, best_id, bu, bv = trace(ro, rd, minT, infT)
-            hit = best_id >= 0
-            t_safe = jnp.where(hit, best_t, 1.0)
-            p, n_g, hi, mat_id = hit_frame(ro, rd, t_safe, best_id, bu, bv)
+            if mesh:
+                # idle lanes get tmax = -inf: they keep no tree node live,
+                # so drained blocks walk straight out (same trick as the
+                # cluster tracer's padding lanes)
+                tmax_act = jnp.where(active, infT, -jnp.inf)
+                best_t, best_id, n_tri, mat_tri = trace_mesh(
+                    ro, rd, minT, tmax_act)
+                hit = best_id >= 0
+                t_safe = jnp.where(hit, best_t, 1.0)
+                p, n_g, hi, mat_id = hit_frame_mesh(ro, rd, t_safe, best_id,
+                                                    n_tri, mat_tri)
+            else:
+                best_t, best_id, bu, bv = trace(ro, rd, minT, infT)
+                hit = best_id >= 0
+                t_safe = jnp.where(hit, best_t, 1.0)
+                p, n_g, hi, mat_id = hit_frame(ro, rd, t_safe, best_id,
+                                               bu, bv)
             mp = gather_mat(mat_id)
 
             found = active & hit
@@ -609,7 +961,11 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
             if mis:
                 emissive = found & mp["is_light"]
-                light_pdf = surf_pdf(best_id, ro, p, rd) / max(NL, 1)
+                if mesh:
+                    light_pdf = surf_pdf_mesh(best_id, n_tri, ro, p,
+                                              rd) / max(NL, 1)
+                else:
+                    light_pdf = surf_pdf(best_id, ro, p, rd) / max(NL, 1)
                 dvec = ro - p
                 dist2 = jnp.maximum(dot(dvec, dvec), 1e-20)
                 G2 = jnp.abs(dot(n_g, normalize(dvec))) / dist2
@@ -666,7 +1022,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 do_nee = cont & ~mat_delta & (ls_pdf != 0.0)
                 shadow_max = jnp.where(jnp.isfinite(ls_dist),
                                        ls_dist - SHADOW_EPS, infT)
-                occl = trace(p, ls_wi, minT, shadow_max, any_hit=True)
+                if mesh:
+                    occl = trace_mesh(p, ls_wi, minT,
+                                      jnp.where(do_nee, shadow_max,
+                                                -jnp.inf), any_hit=True)
+                else:
+                    occl = trace(p, ls_wi, minT, shadow_max, any_hit=True)
                 nshadow = nshadow + jnp.sum(do_nee, dtype=jnp.float32)
                 f, mpdf = shade.eval_pdf(scene, mp, rd, ls_wi, hi, non_spec)
                 ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
@@ -774,11 +1135,20 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
     scene, static = _MEGA_CACHE[scene_key]
     kernel = _make_kernel(scene, settings, static, rows, n_pixels)
 
+    if static.get("mesh"):
+        # node tables + scalars in SMEM; the packed cluster tri table is a
+        # full-array VMEM operand (resident_direct cluster mode)
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6)
+    else:
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
+
     film_shape = jax.ShapeDtypeStruct((n_blocks * rows, 128), jnp.float32)
     fn = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 8,
+        in_specs=in_specs,
         out_shape=(film_shape, film_shape, film_shape,
                    jax.ShapeDtypeStruct((n_blocks * 8, 128), jnp.float32)),
         out_specs=(
@@ -797,6 +1167,34 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
 
 
 _MEGA_CACHE = {}
+_PACK_CACHE = {}
+
+
+def _pack_scene_cached(scene):
+    """Cache packed tables per Scene object — mesh packing builds the
+    cluster tables (a host SAH build), too slow to repeat per render call.
+    The cache holds the scene itself so id() can't be reused."""
+    key = id(scene)
+    hit = _PACK_CACHE.get(key)
+    if hit is not None and hit[0] is scene:
+        return hit[1], hit[2]
+    tables, static = _pack_scene(scene)
+    if len(_PACK_CACHE) > 16:
+        _PACK_CACHE.clear()
+    _PACK_CACHE[key] = (scene, tables, static)
+    return tables, static
+
+
+def _runtime_args(tables, static):
+    """Ordered runtime operands matching the kernel signature."""
+    if static.get("mesh"):
+        return (tables["node_aabbs"], tables["node_cid"],
+                tables["node_skip"], tables["ctri"], tables["sph_c"],
+                tables["mat_base"], tables["mat_scalars"],
+                tables["light_rows"], tables["cam_row"].reshape(1, -1))
+    return (tables["tri_c"], tables["tri_v"], tables["sph_c"],
+            tables["mat_base"], tables["mat_scalars"],
+            tables["light_rows"], tables["cam_row"].reshape(1, -1))
 
 
 def _static_key(scene, static):
@@ -809,6 +1207,8 @@ def _static_key(scene, static):
             tuple(static["tri_area"]),
             tuple(static["light_is_tri"]), static["has_dof"],
             static["any_sphere_light_prim"],
+            bool(static.get("mesh", False)), static.get("n_nodes", 0),
+            static.get("max_k", 0),
             scene.has_lambertian, scene.has_dielectric,
             scene.has_principled, scene.has_sheen, scene.has_clearcoat,
             scene.has_aniso, scene.has_spec_trans,
@@ -820,7 +1220,7 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     """Full-frame MIS render with the persistent Pallas megakernel."""
     import time
 
-    tables, static = _pack_scene(scene)
+    tables, static = _pack_scene_cached(scene)
     W, H, spp = settings.width, settings.height, settings.spp
     n_pixels = W * H
     P = rows * 128
@@ -836,10 +1236,7 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
                          n_pixels, interpret)
 
-    args = (tables["tri_c"], tables["tri_v"], tables["sph_c"],
-            tables["mat_base"], tables["mat_scalars"], tables["light_rows"],
-            tables["cam_row"].reshape(1, -1),
-            np.zeros((1, 1), np.int32))
+    args = _runtime_args(tables, static) + (np.zeros((1, 1), np.int32),)
     t0 = time.time()
     film_r, film_g, film_b, stats = jax.block_until_ready(fn(*args))
     dt = time.time() - t0
@@ -878,7 +1275,7 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     axis = mesh.axis_names[0]
     n_dev = mesh.size
 
-    tables, static = _pack_scene(scene)
+    tables, static = _pack_scene_cached(scene)
     W, H, spp = settings.width, settings.height, settings.spp
     n_pixels = W * H
     P = rows * 128
@@ -892,9 +1289,7 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     fn = _build_renderer(scene_key, settings, static_key, rows,
                          blocks_per_dev, n_pixels, interpret)
 
-    args = (tables["tri_c"], tables["tri_v"], tables["sph_c"],
-            tables["mat_base"], tables["mat_scalars"], tables["light_rows"],
-            tables["cam_row"].reshape(1, -1))
+    args = _runtime_args(tables, static)
 
     def shard_fn(*tb):
         i = jax.lax.axis_index(axis)
@@ -904,7 +1299,7 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     rep = PartitionSpec()
     sh = PartitionSpec(axis)
     sharded = jax.jit(shard_map(
-        shard_fn, mesh=mesh, in_specs=(rep,) * 7,
+        shard_fn, mesh=mesh, in_specs=(rep,) * len(args),
         out_specs=(sh, sh, sh, sh), check_vma=False))
     t0 = time.time()
     film_r, film_g, film_b, stats = jax.block_until_ready(

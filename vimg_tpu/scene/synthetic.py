@@ -64,10 +64,12 @@ def bumpy_sphere_scene(n_tris=100_000, width=512, height=256, seed=0,
     b.add_mesh(verts, tris, m, normals=normals)
     if with_light:
         light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(18.0, 17.0, 15.0))
-        # 1.2x1.2 quad at y=2.4 facing down
+        # 1.2x1.2 quad at y=2.4 facing down (winding: cross(p1-p0, p2-p0)
+        # must point -y — emission is one-sided, reference
+        # diffuse_light.h:30-38)
         lv = np.array([[-0.6, 2.4, -0.6], [0.6, 2.4, -0.6],
                        [0.6, 2.4, 0.6], [-0.6, 2.4, 0.6]], np.float32)
-        b.add_mesh(lv, np.array([[0, 2, 1], [0, 3, 2]]), light)
+        b.add_mesh(lv, np.array([[0, 1, 2], [0, 2, 3]]), light)
     cam = Camera.make(look_at([0.0, 0.6, 3.2], [0.0, 0.0, 0.0],
                               [0.0, 1.0, 0.0]), width, height, 40.0)
     return b.build(camera=cam, bg_color=(0.05, 0.06, 0.08))
