@@ -139,6 +139,21 @@ class TestParity:
         assert np.abs(ref - img).mean() < 6e-3
         assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.99
 
+    def test_bf16_shading(self):
+        """RenderSettings.shading_dtype="bf16" (Disney eval/pdf in bf16,
+        geometry + sampling stay f32): no NaNs, small linear error vs f32.
+        CPU-interpret only (Mosaic cannot lower bf16 compare masks)."""
+        p = os.path.join(SCENES, "disney_spheres.json")
+        if not os.path.exists(p):
+            pytest.skip("reference scenes unavailable")
+        scene, st = load_json_scene(p)
+        st = dataclasses.replace(st, width=64, height=32, spp=8, max_depth=8)
+        ref = render_megakernel(scene, st, rows=8)
+        img = render_megakernel(
+            scene, dataclasses.replace(st, shading_dtype="bf16"), rows=8)
+        assert np.isfinite(img).all()
+        assert np.abs(ref - img).mean() < 2e-3
+
 
 class TestMesh:
     def test_mesh_megakernel_parity(self):

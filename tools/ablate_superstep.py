@@ -62,12 +62,24 @@ def main():
     ap.add_argument("--variants", default=None,
                     help="comma-separated subset of variant names")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="use the synthetic N-tri mesh scene + ClusterTracer"
+                         " instead of --scene")
     args = ap.parse_args()
 
-    scene, settings = load_json_scene(args.scene)
-    tracer = make_tracer(scene)
+    if args.mesh:
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene import ir
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+        scene = bumpy_sphere_scene(args.mesh, width=512, height=256)
+        settings = ir.RenderSettings(width=512, height=256, spp=64,
+                                     max_depth=16, integrator="mis")
+        tracer = ClusterTracer(scene, tile_rows=16)
+    else:
+        scene, settings = load_json_scene(args.scene)
+        tracer = make_tracer(scene)
     B = args.lanes
-    total = 1 << 62  # never exhaust work: every lane stays busy
+    total = 2 ** 31 - 1  # never exhaust work (int32 max): lanes stay busy
 
     names = None if args.variants is None else set(args.variants.split(","))
     print(f"backend={jax.default_backend()} lanes={B} steps={args.steps}")

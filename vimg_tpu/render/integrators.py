@@ -330,8 +330,11 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         light_pdf = emitters.surf_pdf(scene, hr2.prim_type, hr2.prim_id,
                                       nro, hi2.p, nrd) / max(n_lights, 1)
         G2 = _geometric_term(nro, hi2.p, hi2.n_g)
+        # pdf2*G2 can overflow to inf (GGX spike x grazing G2) and
+        # _balance(inf, x) = NaN; clamping preserves the weight->1 limit
         w_hit = _dt(jnp.where(mat_delta | (pdf2 == 0.0), 1.0,
-                              _balance(pdf2 * G2, light_pdf)))
+                              _balance(jnp.minimum(pdf2 * G2, 1e30),
+                                       light_pdf)))
         result = result + jnp.where(hit_emissive[..., None],
                                     tp * w_hit[..., None] * em, 0.0)
 

@@ -39,6 +39,10 @@ ROULETTE_CLAMP = 0.95
 INV_4PI = 1.0 / (4.0 * math.pi)
 
 DEFAULT_ROWS = 32            # lanes per block = ROWS * 128
+TILE_W = 64                  # mesh-mode pixel-tile width (tile = TILE_W x
+                             # P/TILE_W); square-ish tiles keep each block's
+                             # ray frustum tight for the cluster-tree walk
+MESH_CLUSTER_K = 64          # tris per leaf cluster for the in-kernel walk
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +236,7 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
     row 12, tri area = |plane normal| / 2)."""
     from vimg_tpu.geometry.cluster_trace import ClusterData
     nt, ns = scene.n_tris(), scene.n_spheres()
-    cd = ClusterData(scene)
+    cd = ClusterData(scene, max_k=MESH_CLUSTER_K)
 
     mat_base = np.asarray(scene.mat_base, np.float32).copy()
     mtex = np.asarray(scene.mat_tex)
@@ -333,6 +337,33 @@ def _fdiv(a, b, guard=1e-30):
     return jnp.where(bad, 0.0, a / jnp.where(bad, 1.0, b))
 
 
+def _to_dtype(x, dt):
+    """Cast V3 / float arrays to ``dt`` (bools and ints pass through)."""
+    if isinstance(x, V3):
+        return V3(*(_to_dtype(c, dt) for c in x))
+    if hasattr(x, "dtype") and x.dtype in (jnp.float32, jnp.bfloat16):
+        return x.astype(dt)
+    return x
+
+
+def _make_eval_pdf(settings):
+    """shade.eval_pdf, optionally run in bf16 (RenderSettings.shading_dtype
+    — the BSDF-precision experiment: eval/pdf math only; geometry, sampled
+    directions and MIS weights stay f32)."""
+    if getattr(settings, "shading_dtype", "f32") != "bf16":
+        return shade.eval_pdf
+    bf = jnp.bfloat16
+
+    def eval_pdf_bf16(scene, mp, wi, wo, hit, regularize):
+        mp16 = {k: _to_dtype(v, bf) for k, v in mp.items()}
+        hit16 = shade.Hit(*(_to_dtype(v, bf) for v in hit))
+        f, pdf = shade.eval_pdf(scene, mp16, _to_dtype(wi, bf),
+                                _to_dtype(wo, bf), hit16, regularize)
+        return _to_dtype(f, jnp.float32), _to_dtype(pdf, jnp.float32)
+
+    return eval_pdf_bf16
+
+
 # ---------------------------------------------------------------------------
 # kernel factory
 # ---------------------------------------------------------------------------
@@ -354,6 +385,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
     mis = settings.integrator == "mis"
 
     mesh = bool(static.get("mesh", False))
+    eval_pdf_fn = _make_eval_pdf(settings)
 
     def kernel(*refs):
         if mesh:
@@ -392,9 +424,31 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
         lane = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * 128
                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
-        # one pixel per lane; pix0 = this shard's first pixel (0 unsharded)
-        pix = pix0_ref[0, 0] + g * P + lane
-        in_frame = pix < n_pixels
+        # one pixel per lane; pix0 = this shard's first slot (0 unsharded)
+        slot = pix0_ref[0, 0] + g * P + lane
+        if mesh:
+            # MESH MODE: blocks are square-ish image TILES, not scanline
+            # stripes. A 2048-lane stripe block is 4 rows x 512 px — its
+            # rays fan over a wide frustum and each tree walk visits ~1/3
+            # of all clusters (measured); a 64x32 tile's frustum is ~8x
+            # tighter, and bounce/shadow rays inherit the locality of the
+            # tile's hit points. pix stays the true pixel id, so RNG
+            # streams and the estimator are unchanged; the driver inverts
+            # the tiling when assembling the film.
+            tw = TILE_W
+            th = P // tw
+            tiles_x = -(-W // tw)
+            tile = slot // P
+            local = slot - tile * P
+            lx = local % tw
+            ly = local // tw
+            x_img = (tile % tiles_x) * tw + lx
+            y_img = (tile // tiles_x) * th + ly
+            pix = y_img * W + x_img
+            in_frame = (x_img < W) & (y_img < H)
+        else:
+            pix = slot
+            in_frame = pix < n_pixels
 
         # ---- stages ----------------------------------------------------
         def primary_ray(samp):
@@ -513,9 +567,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
             def body(carry):
                 if any_hit:
-                    n, bt0 = carry
+                    n, nv0, nl0, bt0 = carry
                 else:
-                    n, bt0, code0, nx0, ny0, nz0, mat0 = carry
+                    n, nv0, nl0, bt0, code0, nx0, ny0, nz0, mat0 = carry
                 cid = cid_ref[n // 128, n % 128]
                 c = jnp.maximum(cid, 0)
 
@@ -622,6 +676,8 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     return carry
 
                 is_leaf = cid >= 0
+                nv = nv0 + 1.0
+                nl = nl0 + jnp.where(any_live & is_leaf, 1.0, 0.0)
                 if any_hit:
                     (bt,) = jax.lax.cond(any_live & is_leaf, tri_tests,
                                          lambda cr: cr, (bt0,))
@@ -629,31 +685,34 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                                        skip_ref[n // 128, n % 128])
                     n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next,
                                        n_nodes)
-                    return n_next, bt
+                    return n_next, nv, nl, bt
                 bt, code, nx, ny, nz, mat = jax.lax.cond(
                     any_live & is_leaf, tri_tests, lambda cr: cr,
                     (bt0, code0, nx0, ny0, nz0, mat0))
                 n_next = jnp.where(any_live, n + 1,
                                    skip_ref[n // 128, n % 128])
-                return n_next, bt, code, nx, ny, nz, mat
+                return n_next, nv, nl, bt, code, nx, ny, nz, mat
 
+            fz = jnp.float32(0.0)
             if any_hit:
-                _, bt = jax.lax.while_loop(cond, body, (jnp.int32(0), tmax))
+                _, nv, nl, bt = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), fz, fz, tmax))
                 occ = bt == -jnp.inf
                 if ns:
                     bt_s, id_s = sphere_pass(ro, rd, minT, tmax,
                                              jnp.full(shape, -1, jnp.int32),
                                              lambda j: 1 + j)
                     occ = occ | (id_s >= 0)
-                return occ
-            init = (jnp.int32(0), tmax, f0 - 1.0, f0, f0, f0 + 1.0, f0)
-            _, bt, code, nx, ny, nz, mat = jax.lax.while_loop(
+                return occ, nv, nl
+            init = (jnp.int32(0), fz, fz, tmax, f0 - 1.0, f0, f0,
+                    f0 + 1.0, f0)
+            _, nv, nl, bt, code, nx, ny, nz, mat = jax.lax.while_loop(
                 cond, body, init)
             best_id = jnp.where(code >= 0.0, 0, -1)
             if ns:
                 bt, best_id = sphere_pass(ro, rd, minT, bt, best_id,
                                           lambda j: 1 + j)
-            return bt, best_id, V3(nx, ny, nz), mat
+            return bt, best_id, V3(nx, ny, nz), mat, nv, nl
 
         def hit_frame(ro, rd, t, best_id, bu, bv):
             """Shading data for the winning prim: position, normals, ONB
@@ -905,7 +964,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
         def body(st):
             (m, d, active_i, fresh_i, prev_delta_i, non_spec_i,
              ro, rd, tp, res, acc, eta_scale, prev_pdf,
-             nseg, nshadow) = st
+             nseg, nshadow, nvisit, nleaf) = st
             # bool lane flags ride the while carry as i32 — Mosaic can't
             # legalize scf.yield of i1 vectors
             active = active_i != 0
@@ -939,8 +998,10 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 # so drained blocks walk straight out (same trick as the
                 # cluster tracer's padding lanes)
                 tmax_act = jnp.where(active, infT, -jnp.inf)
-                best_t, best_id, n_tri, mat_tri = trace_mesh(
+                best_t, best_id, n_tri, mat_tri, nv_t, nl_t = trace_mesh(
                     ro, rd, minT, tmax_act)
+                nvisit = nvisit + nv_t
+                nleaf = nleaf + nl_t
                 hit = best_id >= 0
                 t_safe = jnp.where(hit, best_t, 1.0)
                 p, n_g, hi, mat_id = hit_frame_mesh(ro, rd, t_safe, best_id,
@@ -970,8 +1031,13 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 dist2 = jnp.maximum(dot(dvec, dvec), 1e-20)
                 G2 = jnp.abs(dot(n_g, normalize(dvec))) / dist2
                 w1 = fresh | prev_delta | (prev_pdf == 0.0)
+                # clamp the solid-angle->area product: a near-singular BSDF
+                # pdf (GGX spike x grazing G2) can overflow f32 to inf and
+                # _balance(inf, x) = inf/inf = NaN; the physical limit of a
+                # huge BSDF pdf is weight -> 1, which the clamp preserves
                 w_hit = jnp.where(w1, 1.0,
-                                  _balance(prev_pdf * G2, light_pdf))
+                                  _balance(jnp.minimum(prev_pdf * G2, 1e30),
+                                           light_pdf))
                 res = where(emissive, res + tp * em * w_hit, res)
 
                 # background on miss (mis_integrator.cpp:36-38, 173-186)
@@ -1023,13 +1089,16 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 shadow_max = jnp.where(jnp.isfinite(ls_dist),
                                        ls_dist - SHADOW_EPS, infT)
                 if mesh:
-                    occl = trace_mesh(p, ls_wi, minT,
-                                      jnp.where(do_nee, shadow_max,
-                                                -jnp.inf), any_hit=True)
+                    occl, nv_s, nl_s = trace_mesh(
+                        p, ls_wi, minT,
+                        jnp.where(do_nee, shadow_max, -jnp.inf),
+                        any_hit=True)
+                    nvisit = nvisit + nv_s
+                    nleaf = nleaf + nl_s
                 else:
                     occl = trace(p, ls_wi, minT, shadow_max, any_hit=True)
                 nshadow = nshadow + jnp.sum(do_nee, dtype=jnp.float32)
-                f, mpdf = shade.eval_pdf(scene, mp, rd, ls_wi, hi, non_spec)
+                f, mpdf = eval_pdf_fn(scene, mp, rd, ls_wi, hi, non_spec)
                 ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
                 w = _balance(ls_pdf, mpdf * ls_G)
                 contrib = tp * f * ls_rad * (w * ls_G
@@ -1058,7 +1127,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                                                           1e-20), eta_scale)
 
             if mis:
-                f2, pdf2 = shade.eval_pdf(scene, mp, rd, wo, hi, non_spec)
+                f2, pdf2 = eval_pdf_fn(scene, mp, rd, wo, hi, non_spec)
                 nan_pdf = jnp.isnan(pdf2)
                 terminated = terminated | (cont & nan_pdf)
                 cont = cont & ~nan_pdf
@@ -1074,8 +1143,8 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 # lambertian -> albedo, dielectric -> 1, principled -> f/pdf
                 # guarded to 0 on pdf <= 0 / NaN
                 if scene.has_principled:
-                    f2, pdf2 = shade.eval_pdf(scene, mp, rd, wo, hi,
-                                              non_spec)
+                    f2, pdf2 = eval_pdf_fn(scene, mp, rd, wo, hi,
+                                           non_spec)
                     ratio = where(pdf2 > 0.0,
                                   f2 / jnp.maximum(pdf2, 1e-20), z3)
                 else:
@@ -1100,24 +1169,27 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     fresh.astype(jnp.int32), prev_delta.astype(jnp.int32),
                     non_spec.astype(jnp.int32),
                     ro, rd, tp, res, acc, eta_scale, prev_pdf,
-                    nseg, nshadow)
+                    nseg, nshadow, nvisit, nleaf)
 
         def cond(st):
             return jnp.any(st[0] < spp)
 
         m0 = jnp.where(in_frame, 0, spp)
         st = (m0, i0, i0, i0, i0, i0, z3, z3, z3, z3, z3,
-              f0 + 1.0, f0, jnp.float32(0.0), jnp.float32(0.0))
+              f0 + 1.0, f0, jnp.float32(0.0), jnp.float32(0.0),
+              jnp.float32(0.0), jnp.float32(0.0))
         st = jax.lax.while_loop(cond, body, st)
         acc = st[10]
-        nseg, nshadow = st[13], st[14]
+        nseg, nshadow, nvisit, nleaf = st[13], st[14], st[15], st[16]
 
         film_r[:] = acc.x
         film_g[:] = acc.y
         film_b[:] = acc.z
         col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         stats_ref[:] = (jnp.where(col == 0, nseg, 0.0)
-                        + jnp.where(col == 1, nshadow, 0.0))
+                        + jnp.where(col == 1, nshadow, 0.0)
+                        + jnp.where(col == 2, nvisit, 0.0)
+                        + jnp.where(col == 3, nleaf, 0.0))
 
     return kernel
 
@@ -1215,6 +1287,37 @@ def _static_key(scene, static):
             bool(scene.bg_is_emissive))
 
 
+def _block_layout(is_mesh, W, H, P):
+    """Block count + slot->pixel map. Mesh mode tiles the image into
+    TILE_W x (P/TILE_W) windows (one per block) for walk locality; sphere
+    mode keeps linear scanline blocks."""
+    if not is_mesh:
+        return -(-W * H // P), None
+    tw = TILE_W
+    th = max(P // tw, 1)
+    tiles_x = -(-W // tw)
+    tiles_y = -(-H // th)
+    return tiles_x * tiles_y, (tw, th, tiles_x)
+
+
+def _assemble_film(films, is_mesh, W, H, P, n_blocks, spp):
+    """(film_r, film_g, film_b) device blocks -> (H, W, 3) image."""
+    if not is_mesh:
+        return np.stack([np.asarray(f).reshape(-1)[:W * H] for f in films],
+                        axis=-1).reshape(H, W, 3) / spp
+    tw, th, tiles_x = _block_layout(True, W, H, P)[1]
+    slots = np.arange(n_blocks * P)
+    tile, local = slots // P, slots % P
+    x = (tile % tiles_x) * tw + local % tw
+    y = (tile // tiles_x) * th + local // tw
+    valid = (x < W) & (y < H)
+    img = np.zeros((H, W, 3), np.float32)
+    for c, f in enumerate(films):
+        flat = np.asarray(f).reshape(-1)[:slots.size]
+        img[y[valid], x[valid], c] = flat[valid]
+    return img / spp
+
+
 def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
                       rows=DEFAULT_ROWS, return_stats=False, progress=False):
     """Full-frame MIS render with the persistent Pallas megakernel."""
@@ -1227,12 +1330,24 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     while rows > 1 and (rows // 2) * 128 >= n_pixels:
         rows //= 2
         P = rows * 128
-    n_blocks = -(-n_pixels // P)
+    is_mesh = bool(static.get("mesh", False))
+    n_blocks, _ = _block_layout(is_mesh, W, H, P)
+
+    interpret = jax.default_backend() == "cpu"
+    if settings.shading_dtype == "bf16" and not interpret:
+        # Mosaic cannot lower bf16 comparisons to i1 vector masks on this
+        # toolchain ("Invalid relayout ... vector<32x128xi1>" out of
+        # principled_frame's flip compare); the experiment runs on the CPU
+        # interpreter only. Measured there: mean |d| ~ 5e-4 linear vs f32.
+        import warnings
+        warnings.warn("shading_dtype=bf16 is CPU-interpret only (Mosaic "
+                      "i1-relayout gap); falling back to f32 on TPU")
+        import dataclasses as _dc
+        settings = _dc.replace(settings, shading_dtype="f32")
 
     static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, n_blocks)
     _MEGA_CACHE[scene_key] = (scene, static)
-    interpret = jax.default_backend() == "cpu"
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
                          n_pixels, interpret)
 
@@ -1241,20 +1356,24 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     film_r, film_g, film_b, stats = jax.block_until_ready(fn(*args))
     dt = time.time() - t0
 
-    img = np.stack([np.asarray(film_r).reshape(-1)[:n_pixels],
-                    np.asarray(film_g).reshape(-1)[:n_pixels],
-                    np.asarray(film_b).reshape(-1)[:n_pixels]],
-                   axis=-1).reshape(H, W, 3) / spp
+    img = _assemble_film((film_r, film_g, film_b), is_mesh, W, H, P,
+                         n_blocks, spp)
+    # counters live in row 0, columns 0..3 (the kernel broadcasts each
+    # scalar down a column; an earlier reader indexed [:, 1, 0] which is
+    # column 0 again, double-reporting segments as shadow rays)
     st = np.asarray(stats).reshape(n_blocks, 8, 128)
     segs = float(st[:, 0, 0].sum())
-    shadow = float(st[:, 1, 0].sum())
+    shadow = float(st[:, 0, 1].sum())
+    nvisit = float(st[:, 0, 2].sum())
+    nleaf = float(st[:, 0, 3].sum())
     if progress:
         total = n_pixels * spp
         print(f"Megakernel: {total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s, "
               f"{(segs + shadow) / max(dt, 1e-9) / 1e6:.2f} Mrays/s "
               f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
     if return_stats:
-        return img, dict(segments=segs, shadow_rays=shadow, seconds=dt)
+        return img, dict(segments=segs, shadow_rays=shadow, seconds=dt,
+                         node_visits=nvisit, leaf_visits=nleaf)
     return img
 
 
@@ -1279,7 +1398,8 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     W, H, spp = settings.width, settings.height, settings.spp
     n_pixels = W * H
     P = rows * 128
-    n_blocks = -(-n_pixels // P)
+    is_mesh = bool(static.get("mesh", False))
+    n_blocks, _ = _block_layout(is_mesh, W, H, P)
     blocks_per_dev = -(-n_blocks // n_dev)
 
     static_key = _static_key(scene, static)
@@ -1306,14 +1426,12 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
         sharded(*(jnp.asarray(a) for a in args)))
     dt = time.time() - t0
 
-    img = np.stack([np.asarray(film_r).reshape(-1)[:n_pixels],
-                    np.asarray(film_g).reshape(-1)[:n_pixels],
-                    np.asarray(film_b).reshape(-1)[:n_pixels]],
-                   axis=-1).reshape(H, W, 3) / spp
+    img = _assemble_film((film_r, film_g, film_b), is_mesh, W, H, P,
+                         blocks_per_dev * n_dev, spp)
     if return_stats:
         st = np.asarray(stats).reshape(-1, 8, 128)
         return img, dict(segments=float(st[:, 0, 0].sum()),
-                         shadow_rays=float(st[:, 1, 0].sum()), seconds=dt)
+                         shadow_rays=float(st[:, 0, 1].sum()), seconds=dt)
     return img
 
 

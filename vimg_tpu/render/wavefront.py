@@ -195,8 +195,11 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         light_pdf = emitters.surf_pdf(scene, hr.prim_type, hr.prim_id,
                                       s["ro"], hi.p, s["rd"]) / max(n_lights, 1)
         G2 = _geometric_term(s["ro"], hi.p, hi.n_g)
+        # clamp pdf*G2: overflow to inf makes _balance(inf, x) = NaN (the
+        # physical limit of a huge BSDF pdf is weight -> 1)
         w_hit = jnp.where(s["fresh"] | s["prev_delta"] | (s["prev_pdf"] == 0.0),
-                          1.0, _balance(_dt(s["prev_pdf"]) * G2, light_pdf))
+                          1.0, _balance(jnp.minimum(
+                              _dt(s["prev_pdf"]) * G2, 1e30), light_pdf))
         result = s["result"] + jnp.where(
             emissive[:, None], s["throughput"] * _dt(w_hit)[:, None] * em, 0.0)
 

@@ -179,6 +179,10 @@ class RenderSettings:
     tonemap: str = "clamp"         # clamp | agx | reinhard | aces
     # rays processed per device launch; whole frame is chunked to this size
     batch_size: int = 1 << 20
+    # BSDF eval/pdf precision in the megakernel: "f32" (default) or "bf16"
+    # (the VERDICT round-2 experiment: Disney mixture in bf16, geometry and
+    # sampled directions stay f32)
+    shading_dtype: str = "f32"
 
 
 def _empty_env():
