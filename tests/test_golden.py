@@ -58,3 +58,36 @@ def test_mis_golden(scene_name, ref_name):
     # structural agreement (the lit sphere/plane pattern)
     corr = np.corrcoef(ours.mean(-1).ravel(), golden.mean(-1).ravel())[0, 1]
     assert corr > 0.97, corr
+
+
+def test_disney_spheres_agx_golden():
+    """The reference's headline AgX render (renders/disney_spheres_agx_512
+    .png): reduced-res MIS render, AgX-tonemapped, vs the downsampled
+    golden. Looser stats than the MIS tests — indirect noise at 96 spp.
+    Full-res TPU artifact: tools/make_artifact.py."""
+    ref_png = "/root/reference/renders/disney_spheres_agx_512.png"
+    scene_p = "/root/reference/scenes/disney_spheres.json"
+    if not (os.path.exists(ref_png) and os.path.exists(scene_p)):
+        pytest.skip("reference renders unavailable")
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vimg_tpu.render import film
+    from vimg_tpu.render.render import render
+    from vimg_tpu.scene.json_loader import load_json_scene
+
+    scene, settings = load_json_scene(scene_p)
+    w, h = 99, 44                     # 1800x800 aspect
+    scene = scene.replace(camera=dataclasses.replace(
+        scene.camera, width=w, height=h))
+    settings = dataclasses.replace(settings, width=w, height=h, spp=96,
+                                   batch_size=w * h * 96)
+    img = render(scene, settings, integrator="mis")
+    ours = np.asarray(film.finalize(jnp.asarray(img), tonemap="agx"))
+    golden = np.asarray(
+        Image.open(ref_png).convert("RGB").resize((w, h), Image.BILINEAR),
+        np.float32) / 255.0
+    diff = np.abs(ours - golden)
+    assert diff.mean() < 0.08, diff.mean()
+    corr = np.corrcoef(ours.mean(-1).ravel(), golden.mean(-1).ravel())[0, 1]
+    assert corr > 0.95, corr

@@ -203,6 +203,21 @@ class ClusterData:
                     hi = np.full(3, -np.inf, np.float32)
                 tri_rows[c, 2 * sb, 13:16] = lo
                 tri_rows[c, 2 * sb + 1, 13:16] = hi
+            # finer 8-tri sub boxes in the NEXT free spare slots (tri rows
+            # 2*n_sub .. 2*n_sub + 2*n_sub8 - 1); additive so the 16-tri
+            # layout above stays valid for the XLA cluster kernel
+            n_sub8 = max(max_k // 8, 1)
+            if 2 * n_sub + 2 * n_sub8 <= max_k:
+                for u in range(n_sub8):
+                    sub = ids[u * 8:(u + 1) * 8]
+                    if sub.size:
+                        lo = bmin[sub].min(axis=0)
+                        hi = bmax[sub].max(axis=0)
+                    else:
+                        lo = np.full(3, np.inf, np.float32)
+                        hi = np.full(3, -np.inf, np.float32)
+                    tri_rows[c, 2 * n_sub + 2 * u, 13:16] = lo
+                    tri_rows[c, 2 * n_sub + 2 * u + 1, 13:16] = hi
         self.n_clusters = C
         self.max_k = max_k
         # (C * max_k*16/128, 128) layout, row-major within each cluster

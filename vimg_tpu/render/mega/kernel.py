@@ -561,6 +561,10 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
             idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
             idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+            # hoist o*inv_d so each slab plane is bound*inv - oi (one fms)
+            oix = ox * idx
+            oiy = oy * idy
+            oiz = oz * idz
 
             def cond(carry):
                 return carry[0] < n_nodes
@@ -585,12 +589,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 bxh = aabb_ref[arow, acol + 3]
                 byh = aabb_ref[arow, acol + 4]
                 bzh = aabb_ref[arow, acol + 5]
-                t0x = (bxl - ox) * idx
-                t1x = (bxh - ox) * idx
-                t0y = (byl - oy) * idy
-                t1y = (byh - oy) * idy
-                t0z = (bzl - oz) * idz
-                t1z = (bzh - oz) * idz
+                t0x = bxl * idx - oix
+                t1x = bxh * idx - oix
+                t0y = byl * idy - oiy
+                t1y = byh * idy - oiy
+                t0z = bzl * idz - oiz
+                t1z = bzh * idz - oiz
                 tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
                                               jnp.minimum(t0y, t1y)),
                                   jnp.maximum(jnp.minimum(t0z, t1z), minT))
@@ -602,12 +606,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     live = live & (bt0 > -jnp.inf)
                 any_live = jnp.any(live)
 
-                def test16(sub0, carry):
+                def test16(sub0, carry, width=16):
                     if any_hit:
                         (bt,) = carry
                     else:
                         bt, code, nx, ny, nz, mat = carry
-                    for k in range(sub0, min(sub0 + 16, max_k)):
+                    for k in range(sub0, min(sub0 + width, max_k)):
                         tnx = tconst(k, 0)
                         tny = tconst(k, 1)
                         tnz = tconst(k, 2)
@@ -644,32 +648,39 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                         return (bt,)
                     return bt, code, nx, ny, nz, mat
 
+                # leaf gating stays at 16-tri granularity: measured on-chip,
+                # 8-tri gates LOSE (9.8s vs 7.2s on the 100k-tri scene) —
+                # each any()+cond gate costs ~0.34us of vector->scalar sync,
+                # more than the halved tri tests save. (The packer also
+                # stores 8-tri boxes; unused here.)
+                def sub_gate(row_lo, row_hi, bt):
+                    slx = tconst(row_lo, 13)
+                    sly = tconst(row_lo, 14)
+                    slz = tconst(row_lo, 15)
+                    shx = tconst(row_hi, 13)
+                    shy = tconst(row_hi, 14)
+                    shz = tconst(row_hi, 15)
+                    s0x = slx * idx - oix
+                    s1x = shx * idx - oix
+                    s0y = sly * idy - oiy
+                    s1y = shy * idy - oiy
+                    s0z = slz * idz - oiz
+                    s1z = shz * idz - oiz
+                    stin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(s0x, s1x),
+                                    jnp.minimum(s0y, s1y)),
+                        jnp.maximum(jnp.minimum(s0z, s1z), minT))
+                    stout = jnp.minimum(
+                        jnp.minimum(jnp.maximum(s0x, s1x),
+                                    jnp.maximum(s0y, s1y)),
+                        jnp.minimum(jnp.maximum(s0z, s1z), bt))
+                    return jnp.any(live & (stin <= stout))
+
                 def tri_tests(carry):
                     if n_sub == 1:
                         return test16(0, carry)
                     for s in range(n_sub):
-                        slx = tconst(2 * s, 13)
-                        sly = tconst(2 * s, 14)
-                        slz = tconst(2 * s, 15)
-                        shx = tconst(2 * s + 1, 13)
-                        shy = tconst(2 * s + 1, 14)
-                        shz = tconst(2 * s + 1, 15)
-                        bt = carry[0]
-                        s0x = (slx - ox) * idx
-                        s1x = (shx - ox) * idx
-                        s0y = (sly - oy) * idy
-                        s1y = (shy - oy) * idy
-                        s0z = (slz - oz) * idz
-                        s1z = (shz - oz) * idz
-                        stin = jnp.maximum(
-                            jnp.maximum(jnp.minimum(s0x, s1x),
-                                        jnp.minimum(s0y, s1y)),
-                            jnp.maximum(jnp.minimum(s0z, s1z), minT))
-                        stout = jnp.minimum(
-                            jnp.minimum(jnp.maximum(s0x, s1x),
-                                        jnp.maximum(s0y, s1y)),
-                            jnp.minimum(jnp.maximum(s0z, s1z), bt))
-                        s_any = jnp.any(live & (stin <= stout))
+                        s_any = sub_gate(2 * s, 2 * s + 1, carry[0])
                         carry = jax.lax.cond(
                             s_any, functools.partial(test16, s * 16),
                             lambda cr: cr, carry)
