@@ -79,7 +79,7 @@ class TestSupports:
         assert supports_megakernel(scene, st)
         smooth = bumpy_sphere_scene(2000, width=64, height=32,
                                     smooth_normals=True)
-        assert not supports_megakernel(smooth, st)  # vertex normals -> XLA
+        assert supports_megakernel(smooth, st)  # attr-table mesh mode
 
 
 class TestParity:
@@ -177,6 +177,31 @@ class TestMesh:
         assert d.mean() < 1e-4
         assert (d.max(-1) > 1e-5).mean() < 0.01  # <1% of pixels race
         assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.999
+
+    def test_mesh_megakernel_smooth_normals(self):
+        """Vertex-normal (smooth shading) mesh megakernel vs the XLA
+        wavefront+ClusterTracer: interpolated n_s drives shading, emission
+        sidedness and NEE; same estimator, statistical parity (the hit
+        point + interp-weight op orders differ by ulps)."""
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        scene = bumpy_sphere_scene(800, width=64, height=32,
+                                   smooth_normals=True)
+        st = ir.RenderSettings(width=64, height=32, spp=4, max_depth=8,
+                               integrator="mis", batch_size=1 << 14)
+        assert supports_megakernel(scene, st)
+        img = render_megakernel(scene, st, rows=16)
+        ref = render_wavefront(scene, st, tracer=ClusterTracer(scene))
+        assert np.isfinite(img).all()
+        d = np.abs(ref - img)
+        assert d.mean() < 1e-4
+        assert (d.max(-1) > 1e-5).mean() < 0.01
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.999
+        # smooth shading must actually differ from flat shading
+        flat = bumpy_sphere_scene(800, width=64, height=32)
+        flat_img = render_megakernel(flat, st, rows=16)
+        assert np.abs(flat_img - img).mean() > 1e-3
 
     def test_mesh_megakernel_material_mode(self):
         from vimg_tpu.geometry.cluster_trace import ClusterTracer

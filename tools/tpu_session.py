@@ -198,6 +198,43 @@ def bench_mesh(T=100_000, spp=16, W=512, H=256):
         save()
 
 
+def bench_mesh_mega(T=100_000, spp=16, W=512, H=256):
+    """Mesh-mode megakernel (in-kernel cluster-tree walk) on the synthetic
+    100k-tri scene — the fast path for the reference's glb configs."""
+    from vimg_tpu.render.mega import render_megakernel, supports_megakernel
+    from vimg_tpu.scene import ir as _ir
+    from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+    scene = bumpy_sphere_scene(T, width=W, height=H)
+    st = _ir.RenderSettings(width=W, height=H, spp=spp, max_depth=16,
+                            integrator="mis")
+    assert supports_megakernel(scene, st)
+    total = W * H * spp
+    out = {"tris": T, "spp": spp, "res": f"{W}x{H}"}
+    for rows in (16, 32):
+        t0 = time.time()
+        img, stats = render_megakernel(scene, st, rows=rows,
+                                       return_stats=True)
+        first = time.time() - t0
+        best = stats["seconds"]
+        for _ in range(2):
+            _, s2 = render_megakernel(scene, st, rows=rows,
+                                      return_stats=True)
+            best = min(best, s2["seconds"])
+        rays = stats["segments"] + stats["shadow_rays"]
+        mpaths = total / best / 1e6
+        out[f"rows{rows}"] = dict(
+            first_s=round(first, 1), best_s=round(best, 3),
+            mpaths=round(mpaths, 3), mrays=round(rays / best / 1e6, 2),
+            visits=stats["node_visits"], leaves=stats["leaf_visits"],
+            img_mean=float(np.asarray(img).mean()))
+        log(f"mesh-mega rows={rows}: first={first:.1f}s best={best:.3f}s "
+            f"{mpaths:.3f} Mpaths/s {rays/best/1e6:.2f} Mrays/s "
+            f"mean={out[f'rows{rows}']['img_mean']:.5f}")
+        RESULTS["mesh_mega"] = out
+        save()
+
+
 def smoke():
     """On-chip small render compared against the CPU golden statistics
     (catches platform numerics — VERDICT weak #9)."""
@@ -232,6 +269,8 @@ if __name__ == "__main__":
         bench_cluster()
     if "mesh" not in skip:
         bench_mesh()
+    if "meshmega" not in skip:
+        bench_mesh_mega()
     if "smoke" not in skip:
         smoke()
     log("session done")

@@ -144,9 +144,16 @@ def _tri_constants_f32(verts, tri_vidx):
 
 
 class ClusterData:
-    """Packed cluster tables (host numpy; device arrays built lazily)."""
+    """Packed cluster tables (host numpy; device arrays built lazily).
 
-    def __init__(self, scene: ir.Scene, max_k=CLUSTER_K):
+    ``with_attrs`` additionally packs a parallel per-tri shading-attribute
+    table ``attr_rows`` (same (C * max_k * 16/128, 128) shape as
+    ``tri_rows``) for kernels that shade in-kernel (render/mega): slots
+    0..8 hold the three vertex normals n0/n1/n2 (falling back to the
+    normalized geometric normal when a tri has no vertex normals, exactly
+    like geometry/intersect.py:253-255)."""
+
+    def __init__(self, scene: ir.Scene, max_k=CLUSTER_K, with_attrs=False):
         verts = np.asarray(scene.verts)
         tvidx = np.asarray(scene.tri_vidx)
         T = tvidx.shape[0]
@@ -224,6 +231,33 @@ class ClusterData:
         self.tri_rows = tri_rows.reshape(C * (max_k * ROW16 // 128), 128)
         self.perm = perm
         self.n_tris = T
+
+        self.attr_rows = None
+        if with_attrs:
+            # face normals in f32 with intersect.py op order (normalize of
+            # the f32 cross product)
+            p32 = verts.astype(np.float32)[tvidx]
+            e1 = p32[:, 1] - p32[:, 0]
+            e2 = p32[:, 2] - p32[:, 0]
+            fn = np.cross(e1, e2)
+            fn = fn / np.maximum(
+                np.sqrt((fn * fn).sum(-1, keepdims=True)), 1e-38)
+            if scene.vnormals is not None and scene.tri_flags is not None:
+                vn = np.asarray(scene.vnormals, np.float32)
+                has = (np.asarray(scene.tri_flags)
+                       & ir.TRI_HAS_NORMALS).astype(bool)[:, None]
+                n0 = np.where(has, vn[tvidx[:, 0]], fn)
+                n1 = np.where(has, vn[tvidx[:, 1]], fn)
+                n2 = np.where(has, vn[tvidx[:, 2]], fn)
+            else:
+                n0 = n1 = n2 = fn
+            attrs = np.concatenate([n0, n1, n2], axis=1).astype(np.float32)
+            attr_rows = np.zeros((C, max_k, ROW16), np.float32)
+            for c, (s, e) in enumerate(ranges):
+                ids = order[s:e]
+                attr_rows[c, :ids.shape[0], :9] = attrs[ids]
+            self.attr_rows = attr_rows.reshape(C * (max_k * ROW16 // 128),
+                                               128)
 
         # --- cluster-tree tables for SMEM -------------------------------
         # SMEM rows are padded to 128 lanes (512 B) regardless of logical

@@ -71,14 +71,16 @@ def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
         return False
     if scene.lights_have_bg:
         return False
-    # vertex normals change n_s interpolation -> wavefront path. UV flags
-    # are irrelevant here: no texture consumers (gated above), and the
-    # UV-derived tangent frame only matters for anisotropic materials,
-    # whose frame-sensitive lobes we only allow on spheres (where the
-    # XLA path also uses the ONB frame, intersect.py:388).
+    # UV flags are irrelevant here: no texture consumers (gated above),
+    # and the UV-derived tangent frame only matters for anisotropic
+    # materials, whose frame-sensitive lobes we only allow on spheres
+    # (where the XLA path also uses the ONB frame, intersect.py:388).
     if scene.n_tris():
         if np.any(np.asarray(scene.tri_flags) & ir.TRI_HAS_NORMALS):
-            return False
+            # vertex normals ride a second per-tri attr table (mesh mode);
+            # both tables must stay VMEM-resident
+            if scene.n_tris() > MESH_MEGA_MAX_TRIS // 2:
+                return False
         if scene.has_aniso:
             aniso_mats = set(np.nonzero(
                 np.asarray(scene.mat_scalars)[:, ir.MS_ANISO] != 0.0)[0])
@@ -107,7 +109,9 @@ def _pack_scene(scene: ir.Scene):
     tri_c, sph_c = build_constants(scene)
     nt = scene.n_tris()
     ns = scene.n_spheres()
-    mesh = nt > 64
+    has_vnormals = bool(nt) and bool(
+        np.any(np.asarray(scene.tri_flags) & ir.TRI_HAS_NORMALS))
+    mesh = nt > 64 or has_vnormals
 
     # tables padded to >=1 row (zero-row SMEM operands don't lower)
     tri_c = np.asarray(tri_c, np.float32) if tri_c is not None and not mesh \
@@ -236,7 +240,9 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
     row 12, tri area = |plane normal| / 2)."""
     from vimg_tpu.geometry.cluster_trace import ClusterData
     nt, ns = scene.n_tris(), scene.n_spheres()
-    cd = ClusterData(scene, max_k=MESH_CLUSTER_K)
+    has_vnormals = bool(nt) and bool(
+        np.any(np.asarray(scene.tri_flags) & ir.TRI_HAS_NORMALS))
+    cd = ClusterData(scene, max_k=MESH_CLUSTER_K, with_attrs=has_vnormals)
 
     mat_base = np.asarray(scene.mat_base, np.float32).copy()
     mtex = np.asarray(scene.mat_tex)
@@ -258,14 +264,20 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
     def _f32_norm2(c):
         return (c[0] * c[0] + c[1] * c[1]) + c[2] * c[2]
 
-    # light rows (same layout/op order as the analytic path)
+    # light rows (same layout/op order as the analytic path); mesh rows are
+    # 32 wide — slots 16..24 carry the per-vertex normals n0/n1/n2 of tri
+    # lights (face normal x3 when the tri has none), interpolated by
+    # sample_lights exactly like emitters._sample_tri:50-57
     lt = np.asarray(scene.light_type)
     li = np.asarray(scene.light_idx)
     light_is_tri = [bool(t == ir.LIGHT_TRI) for t in lt]
-    light_rows = np.zeros((max(len(lt), 1), 16), np.float32)
+    light_rows = np.zeros((max(len(lt), 1), 32), np.float32)
     verts32 = np.asarray(scene.verts, np.float32)
     tvidx = np.asarray(scene.tri_vidx)
     tri_mat = np.asarray(scene.tri_mat)
+    tri_flags = np.asarray(scene.tri_flags) if nt else np.zeros(0, np.int32)
+    vnorm32 = np.asarray(scene.vnormals, np.float32) \
+        if scene.vnormals is not None else None
     sph_center32 = np.asarray(scene.sph_center, np.float32) \
         if ns else np.zeros((0, 3), np.float32)
     sph_radius32 = np.asarray(scene.sph_radius, np.float32) \
@@ -280,8 +292,14 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
             a2 = _f32_norm2(_f32_cross(p2 - p0, p1 - p0))
             area = np.sqrt(np.maximum(a2, np.float32(0.0))) / np.float32(2.0)
             emit = mat_base[int(tri_mat[idx])]
-            light_rows[l] = np.concatenate(
-                [p0, p1, p2, nrm, [area], emit]).astype(np.float32)
+            if vnorm32 is not None and (tri_flags[idx]
+                                        & ir.TRI_HAS_NORMALS):
+                ln0, ln1, ln2 = vnorm32[tvidx[idx]]
+            else:
+                ln0 = ln1 = ln2 = nrm
+            light_rows[l, :25] = np.concatenate(
+                [p0, p1, p2, nrm, [area], emit,
+                 ln0, ln1, ln2]).astype(np.float32)
         elif t == ir.LIGHT_SPHERE:
             emit = mat_base[sph_mat[idx]]
             light_rows[l, :7] = np.concatenate(
@@ -305,11 +323,14 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
         any_sphere_light_prim=any(sph_emissive),
         n_nodes=cd.n_nodes, max_k=cd.max_k,
         rows_per_cluster=cd.max_k * 16 // 128,
+        has_vnormals=has_vnormals,
     )
     tables = dict(node_aabbs=cd.node_aabbs, node_cid=cd.node_cid,
                   node_skip=cd.node_skip, ctri=cd.tri_rows, sph_c=sph_c,
                   mat_base=mat_base, mat_scalars=mat_scalars,
                   light_rows=light_rows, cam_row=cam_row)
+    if has_vnormals:
+        tables["cattr"] = cd.attr_rows
     return tables, static
 
 
@@ -385,10 +406,16 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
     mis = settings.integrator == "mis"
 
     mesh = bool(static.get("mesh", False))
+    has_vn = bool(static.get("has_vnormals", False))
     eval_pdf_fn = _make_eval_pdf(settings)
 
     def kernel(*refs):
-        if mesh:
+        cattr_ref = None
+        if mesh and has_vn:
+            (aabb_ref, cid_ref, skip_ref, ctri_ref, cattr_ref, sph_ref,
+             matb_ref, mats_ref, light_ref, cam_ref, pix0_ref,
+             film_r, film_g, film_b, stats_ref) = refs
+        elif mesh:
             (aabb_ref, cid_ref, skip_ref, ctri_ref, sph_ref, matb_ref,
              mats_ref, light_ref, cam_ref, pix0_ref,
              film_r, film_g, film_b, stats_ref) = refs
@@ -408,7 +435,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     for m in range(static["n_mats"])]
         mat_sc = [tuple(mats_ref[m, k] for k in range(ir.N_MAT_SCALARS))
                   for m in range(static["n_mats"])]
-        lights = [tuple(light_ref[l, k] for k in range(16))
+        lights = [tuple(light_ref[l, k] for k in range(32 if mesh else 16))
                   for l in range(NL)]
         cam = tuple(cam_ref[0, k] for k in range(19))
         vfov_deg, aperture, focal = cam[0], cam[1], cam[2]
@@ -572,6 +599,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             def body(carry):
                 if any_hit:
                     n, nv0, nl0, bt0 = carry
+                elif has_vn:
+                    (n, nv0, nl0, bt0, code0, nx0, ny0, nz0, mat0,
+                     vx0, vy0, vz0) = carry
                 else:
                     n, nv0, nl0, bt0, code0, nx0, ny0, nz0, mat0 = carry
                 cid = cid_ref[n // 128, n % 128]
@@ -580,6 +610,10 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 def tconst(k, j):
                     flat = k * 16 + j
                     return ctri_ref[c * rpc + flat // 128, flat % 128]
+
+                def tattr(k, j):
+                    flat = k * 16 + j
+                    return cattr_ref[c * rpc + flat // 128, flat % 128]
 
                 arow = n // 16
                 acol = (n % 16) * 8
@@ -609,6 +643,8 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 def test16(sub0, carry, width=16):
                     if any_hit:
                         (bt,) = carry
+                    elif has_vn:
+                        bt, code, nx, ny, nz, mat, vx, vy, vz = carry
                     else:
                         bt, code, nx, ny, nz, mat = carry
                     for k in range(sub0, min(sub0 + width, max_k)):
@@ -644,8 +680,26 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                             nz = jnp.where(hh, tnz, nz)
                             mat = jnp.where(hh, tconst(k, 12), mat)
                             bt = jnp.where(hh, t, bt)
+                            if has_vn:
+                                # interpolated vertex normal, captured at
+                                # hit time from the attr table (weights:
+                                # (1-u-v, u, v) of (n0, n1, n2) — the
+                                # intersect.py:251 convention via the
+                                # ClusterTracer (u, v) mapping)
+                                wz = 1.0 - u - v
+                                vx = jnp.where(
+                                    hh, tattr(k, 0) * wz + tattr(k, 3) * u
+                                    + tattr(k, 6) * v, vx)
+                                vy = jnp.where(
+                                    hh, tattr(k, 1) * wz + tattr(k, 4) * u
+                                    + tattr(k, 7) * v, vy)
+                                vz = jnp.where(
+                                    hh, tattr(k, 2) * wz + tattr(k, 5) * u
+                                    + tattr(k, 8) * v, vz)
                     if any_hit:
                         return (bt,)
+                    if has_vn:
+                        return bt, code, nx, ny, nz, mat, vx, vy, vz
                     return bt, code, nx, ny, nz, mat
 
                 # leaf gating stays at 16-tri granularity: measured on-chip,
@@ -697,12 +751,14 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next,
                                        n_nodes)
                     return n_next, nv, nl, bt
-                bt, code, nx, ny, nz, mat = jax.lax.cond(
-                    any_live & is_leaf, tri_tests, lambda cr: cr,
-                    (bt0, code0, nx0, ny0, nz0, mat0))
+                hit_carry = (bt0, code0, nx0, ny0, nz0, mat0)
+                if has_vn:
+                    hit_carry = hit_carry + (vx0, vy0, vz0)
+                hit_carry = jax.lax.cond(any_live & is_leaf, tri_tests,
+                                         lambda cr: cr, hit_carry)
                 n_next = jnp.where(any_live, n + 1,
                                    skip_ref[n // 128, n % 128])
-                return n_next, nv, nl, bt, code, nx, ny, nz, mat
+                return (n_next, nv, nl) + hit_carry
 
             fz = jnp.float32(0.0)
             if any_hit:
@@ -717,13 +773,16 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 return occ, nv, nl
             init = (jnp.int32(0), fz, fz, tmax, f0 - 1.0, f0, f0,
                     f0 + 1.0, f0)
-            _, nv, nl, bt, code, nx, ny, nz, mat = jax.lax.while_loop(
-                cond, body, init)
+            if has_vn:
+                init = init + (f0, f0, f0 + 1.0)
+            out = jax.lax.while_loop(cond, body, init)
+            _, nv, nl, bt, code, nx, ny, nz, mat = out[:9]
+            vn = V3(*out[9:12]) if has_vn else None
             best_id = jnp.where(code >= 0.0, 0, -1)
             if ns:
                 bt, best_id = sphere_pass(ro, rd, minT, bt, best_id,
                                           lambda j: 1 + j)
-            return bt, best_id, V3(nx, ny, nz), mat, nv, nl
+            return bt, best_id, V3(nx, ny, nz), vn, mat, nv, nl
 
         def hit_frame(ro, rd, t, best_id, bu, bv):
             """Shading data for the winning prim: position, normals, ONB
@@ -764,10 +823,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             return p, n, shade.Hit(n_s=n, n_g=n, tangent=tangent,
                                    bitangent=bitangent), mat_id
 
-        def hit_frame_mesh(ro, rd, t, best_id, n_tri, mat_tri):
+        def hit_frame_mesh(ro, rd, t, best_id, n_tri, vn_tri, mat_tri):
             """Mesh-mode shading frame: tri normal/material were captured
             from the cluster rows during the walk (best_id 0 = tri,
-            1+j = sphere j); hit point is ro + t*rd."""
+            1+j = sphere j); hit point is ro + t*rd. ``vn_tri`` is the
+            unnormalized interpolated vertex normal (None when the scene
+            has no vertex normals — then n_s == n_g)."""
             p = ro + rd * t
             is_tri = best_id == 0
             nn = normalize(n_tri)
@@ -781,8 +842,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     csel = where(m, V3(f0 + cx, f0 + cy, f0 + cz), csel)
                     mat_id = jnp.where(m, static["prim_mat"][j], mat_id)
                 n = where(is_sph, normalize(p - csel), n)
-            tangent, bitangent = onb_from_normal(n)
-            return p, n, shade.Hit(n_s=n, n_g=n, tangent=tangent,
+            n_s = where(is_tri, normalize(vn_tri), n) if has_vn else n
+            tangent, bitangent = onb_from_normal(n_s)
+            return p, n, shade.Hit(n_s=n_s, n_g=n, tangent=tangent,
                                    bitangent=bitangent), mat_id
 
         def surf_pdf_mesh(best_id, n_tri, ro, p, rd):
@@ -895,6 +957,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             any_sph = not all(static["light_is_tri"])
             if any_tri:
                 p0, p1, p2, nrm, emit = z3, z3, z3, z3, z3
+                ln0, ln1, ln2 = z3, z3, z3
                 area = f0
                 is_tri = b0
                 for l, row in enumerate(lights):
@@ -910,11 +973,22 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     area = jnp.where(m, row[12], area)
                     emit = where(m, V3(f0 + row[13], f0 + row[14],
                                        f0 + row[15]), emit)
+                    if mesh and has_vn:
+                        ln0 = where(m, V3(f0 + row[16], f0 + row[17],
+                                          f0 + row[18]), ln0)
+                        ln1 = where(m, V3(f0 + row[19], f0 + row[20],
+                                          f0 + row[21]), ln1)
+                        ln2 = where(m, V3(f0 + row[22], f0 + row[23],
+                                          f0 + row[24]), ln2)
+                if not (mesh and has_vn):
+                    ln0 = ln1 = ln2 = nrm
                 u, v = shade.sample_triangle_uv(r1, r2)
                 w = 1.0 - u - v
-                # op order of emitters._sample_tri:54-66
+                # op order of emitters._sample_tri:54-66 (per-vertex light
+                # normals interpolate like emitters.py:57; without vertex
+                # normals ln0 == ln1 == ln2 == face normal, same value)
                 hit_p = p0 * u + p1 * v + p2 * w
-                hit_n = normalize(nrm * u + nrm * v + nrm * w)
+                hit_n = normalize(ln0 * u + ln1 * v + ln2 * w)
                 dvec = hit_p - look_from
                 dist2 = dot(dvec, dvec)
                 t_wi = normalize(dvec)
@@ -1009,14 +1083,14 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 # so drained blocks walk straight out (same trick as the
                 # cluster tracer's padding lanes)
                 tmax_act = jnp.where(active, infT, -jnp.inf)
-                best_t, best_id, n_tri, mat_tri, nv_t, nl_t = trace_mesh(
-                    ro, rd, minT, tmax_act)
+                (best_t, best_id, n_tri, vn_tri, mat_tri, nv_t,
+                 nl_t) = trace_mesh(ro, rd, minT, tmax_act)
                 nvisit = nvisit + nv_t
                 nleaf = nleaf + nl_t
                 hit = best_id >= 0
                 t_safe = jnp.where(hit, best_t, 1.0)
                 p, n_g, hi, mat_id = hit_frame_mesh(ro, rd, t_safe, best_id,
-                                                    n_tri, mat_tri)
+                                                    n_tri, vn_tri, mat_tri)
             else:
                 best_t, best_id, bu, bv = trace(ro, rd, minT, infT)
                 hit = best_id >= 0
@@ -1219,10 +1293,12 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
     kernel = _make_kernel(scene, settings, static, rows, n_pixels)
 
     if static.get("mesh"):
-        # node tables + scalars in SMEM; the packed cluster tri table is a
-        # full-array VMEM operand (resident_direct cluster mode)
+        # node tables + scalars in SMEM; the packed cluster tri table (and
+        # the attr table when vertex normals exist) are full-array VMEM
+        # operands (resident_direct cluster mode)
+        n_vmem = 2 if static.get("has_vnormals") else 1
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6)
     else:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
@@ -1271,8 +1347,10 @@ def _pack_scene_cached(scene):
 def _runtime_args(tables, static):
     """Ordered runtime operands matching the kernel signature."""
     if static.get("mesh"):
+        attr = (tables["cattr"],) if static.get("has_vnormals") else ()
         return (tables["node_aabbs"], tables["node_cid"],
-                tables["node_skip"], tables["ctri"], tables["sph_c"],
+                tables["node_skip"], tables["ctri"]) + attr + (
+                tables["sph_c"],
                 tables["mat_base"], tables["mat_scalars"],
                 tables["light_rows"], tables["cam_row"].reshape(1, -1))
     return (tables["tri_c"], tables["tri_v"], tables["sph_c"],
@@ -1291,7 +1369,7 @@ def _static_key(scene, static):
             tuple(static["light_is_tri"]), static["has_dof"],
             static["any_sphere_light_prim"],
             bool(static.get("mesh", False)), static.get("n_nodes", 0),
-            static.get("max_k", 0),
+            static.get("max_k", 0), bool(static.get("has_vnormals", False)),
             scene.has_lambertian, scene.has_dielectric,
             scene.has_principled, scene.has_sheen, scene.has_clearcoat,
             scene.has_aniso, scene.has_spec_trans,
