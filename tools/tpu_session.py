@@ -211,26 +211,28 @@ def bench_mesh_mega(T=100_000, spp=16, W=512, H=256):
     assert supports_megakernel(scene, st)
     total = W * H * spp
     out = {"tris": T, "spp": spp, "res": f"{W}x{H}"}
-    for rows in (16, 32):
+    for rows, wb in ((32, 1), (32, 2), (32, 4), (32, 8), (16, 4), (64, 4)):
         t0 = time.time()
         img, stats = render_megakernel(scene, st, rows=rows,
-                                       return_stats=True)
+                                       return_stats=True, walk_batch=wb)
         first = time.time() - t0
         best = stats["seconds"]
         for _ in range(2):
             _, s2 = render_megakernel(scene, st, rows=rows,
-                                      return_stats=True)
+                                      return_stats=True, walk_batch=wb)
             best = min(best, s2["seconds"])
         rays = stats["segments"] + stats["shadow_rays"]
         mpaths = total / best / 1e6
-        out[f"rows{rows}"] = dict(
+        key = f"rows{rows}_wb{wb}"
+        out[key] = dict(
             first_s=round(first, 1), best_s=round(best, 3),
             mpaths=round(mpaths, 3), mrays=round(rays / best / 1e6, 2),
             visits=stats["node_visits"], leaves=stats["leaf_visits"],
             img_mean=float(np.asarray(img).mean()))
-        log(f"mesh-mega rows={rows}: first={first:.1f}s best={best:.3f}s "
-            f"{mpaths:.3f} Mpaths/s {rays/best/1e6:.2f} Mrays/s "
-            f"mean={out[f'rows{rows}']['img_mean']:.5f}")
+        log(f"mesh-mega rows={rows} wb={wb}: first={first:.1f}s "
+            f"best={best:.3f}s {mpaths:.3f} Mpaths/s "
+            f"{rays/best/1e6:.2f} Mrays/s "
+            f"mean={out[key]['img_mean']:.5f}")
         RESULTS["mesh_mega"] = out
         save()
 

@@ -390,9 +390,12 @@ def _make_eval_pdf(settings):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
-                 rows, n_pixels):
+                 rows, n_pixels, walk_batch=1):
     """Returns the Pallas kernel function (closes over static metadata and
-    the Scene only for its static feature flags)."""
+    the Scene only for its static feature flags). ``walk_batch`` unrolls
+    that many dependent node steps per while-loop iteration of the mesh
+    cluster-tree walk (the loop's fixed per-iteration overhead — branch +
+    scalar/vector sync, ~1 us measured — dominates interior visits)."""
     nt, ns = static["nt"], static["ns"]
     NL = static["n_lights"]
     W, H, spp = settings.width, settings.height, settings.spp
@@ -596,7 +599,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             def cond(carry):
                 return carry[0] < n_nodes
 
-            def body(carry):
+            def step(carry):
                 if any_hit:
                     n, nv0, nl0, bt0 = carry
                 elif has_vn:
@@ -604,7 +607,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                      vx0, vy0, vz0) = carry
                 else:
                     n, nv0, nl0, bt0, code0, nx0, ny0, nz0, mat0 = carry
-                cid = cid_ref[n // 128, n % 128]
+                # with walk_batch > 1 a step may run past the walk's end:
+                # clamp reads and no-op via ``valid`` (n stays put, so the
+                # loop cond still sees a terminated walk)
+                valid = n < n_nodes
+                nr = jnp.minimum(n, n_nodes - 1)
+                cid = cid_ref[nr // 128, nr % 128]
                 c = jnp.maximum(cid, 0)
 
                 def tconst(k, j):
@@ -615,8 +623,8 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     flat = k * 16 + j
                     return cattr_ref[c * rpc + flat // 128, flat % 128]
 
-                arow = n // 16
-                acol = (n % 16) * 8
+                arow = nr // 16
+                acol = (nr % 16) * 8
                 bxl = aabb_ref[arow, acol + 0]
                 byl = aabb_ref[arow, acol + 1]
                 bzl = aabb_ref[arow, acol + 2]
@@ -638,7 +646,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 live = tin <= tout
                 if any_hit:
                     live = live & (bt0 > -jnp.inf)
-                any_live = jnp.any(live)
+                any_live = jnp.any(live) & valid
 
                 def test16(sub0, carry, width=16):
                     if any_hit:
@@ -741,24 +749,35 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     return carry
 
                 is_leaf = cid >= 0
-                nv = nv0 + 1.0
+                nv = nv0 + jnp.where(valid, 1.0, 0.0)
                 nl = nl0 + jnp.where(any_live & is_leaf, 1.0, 0.0)
                 if any_hit:
                     (bt,) = jax.lax.cond(any_live & is_leaf, tri_tests,
                                          lambda cr: cr, (bt0,))
-                    n_next = jnp.where(any_live, n + 1,
-                                       skip_ref[n // 128, n % 128])
-                    n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next,
-                                       n_nodes)
+                    n_next = jnp.where(
+                        valid, jnp.where(any_live, nr + 1,
+                                         skip_ref[nr // 128, nr % 128]), n)
                     return n_next, nv, nl, bt
                 hit_carry = (bt0, code0, nx0, ny0, nz0, mat0)
                 if has_vn:
                     hit_carry = hit_carry + (vx0, vy0, vz0)
                 hit_carry = jax.lax.cond(any_live & is_leaf, tri_tests,
                                          lambda cr: cr, hit_carry)
-                n_next = jnp.where(any_live, n + 1,
-                                   skip_ref[n // 128, n % 128])
+                n_next = jnp.where(
+                    valid, jnp.where(any_live, nr + 1,
+                                     skip_ref[nr // 128, nr % 128]), n)
                 return (n_next, nv, nl) + hit_carry
+
+            def body(carry):
+                for _ in range(walk_batch):
+                    carry = step(carry)
+                if any_hit:
+                    # all-occluded early exit, checked once per batch (one
+                    # reduction instead of one per node step)
+                    n_stop = jnp.where(jnp.any(carry[3] > -jnp.inf),
+                                       carry[0], n_nodes)
+                    carry = (n_stop,) + carry[1:]
+                return carry
 
             fz = jnp.float32(0.0)
             if any_hit:
@@ -1285,12 +1304,13 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
 @functools.lru_cache(maxsize=16)
 def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
-                    rows, n_blocks, n_pixels, interpret):
+                    rows, n_blocks, n_pixels, interpret, walk_batch=1):
     """Compiled pallas_call wrapper; cached on static configuration.
     scene_key/static_key are hashable digests built by render_megakernel —
     the actual scene tables are passed as runtime args."""
     scene, static = _MEGA_CACHE[scene_key]
-    kernel = _make_kernel(scene, settings, static, rows, n_pixels)
+    kernel = _make_kernel(scene, settings, static, rows, n_pixels,
+                          walk_batch)
 
     if static.get("mesh"):
         # node tables + scalars in SMEM; the packed cluster tri table (and
@@ -1407,8 +1427,17 @@ def _assemble_film(films, is_mesh, W, H, P, n_blocks, spp):
     return img / spp
 
 
+DEFAULT_WALK_BATCH = 2       # mesh walk: node steps per while iteration.
+                             # Measured on v5e (100k-tri scene, rows=32):
+                             # wb=1 7.30s, wb=2 7.09s, wb=4 9.75s, wb=8
+                             # 8.17s — the while-loop's own overhead is
+                             # small; larger unrolls lose to register
+                             # pressure (4 tri-test lax.conds per body).
+
+
 def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
-                      rows=DEFAULT_ROWS, return_stats=False, progress=False):
+                      rows=DEFAULT_ROWS, return_stats=False, progress=False,
+                      walk_batch=None):
     """Full-frame MIS render with the persistent Pallas megakernel."""
     import time
 
@@ -1434,11 +1463,13 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
         import dataclasses as _dc
         settings = _dc.replace(settings, shading_dtype="f32")
 
+    if walk_batch is None:
+        walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
     static_key = _static_key(scene, static)
-    scene_key = (static_key, settings, rows, n_blocks)
+    scene_key = (static_key, settings, rows, n_blocks, walk_batch)
     _MEGA_CACHE[scene_key] = (scene, static)
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
-                         n_pixels, interpret)
+                         n_pixels, interpret, walk_batch)
 
     args = _runtime_args(tables, static) + (np.zeros((1, 1), np.int32),)
     t0 = time.time()
@@ -1468,7 +1499,7 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
 
 def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
                               mesh=None, rows=DEFAULT_ROWS,
-                              return_stats=False):
+                              return_stats=False, walk_batch=None):
     """Multi-device megakernel render: pixel blocks are embarrassingly
     parallel (each block writes a disjoint film window), so the block axis
     is sharded over the mesh with shard_map — no collectives at all, the
@@ -1491,12 +1522,15 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     n_blocks, _ = _block_layout(is_mesh, W, H, P)
     blocks_per_dev = -(-n_blocks // n_dev)
 
+    if walk_batch is None:
+        walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
     static_key = _static_key(scene, static)
-    scene_key = (static_key, settings, rows, blocks_per_dev, "sharded")
+    scene_key = (static_key, settings, rows, blocks_per_dev, "sharded",
+                 walk_batch)
     _MEGA_CACHE[scene_key] = (scene, static)
     interpret = jax.default_backend() == "cpu"
     fn = _build_renderer(scene_key, settings, static_key, rows,
-                         blocks_per_dev, n_pixels, interpret)
+                         blocks_per_dev, n_pixels, interpret, walk_batch)
 
     args = _runtime_args(tables, static)
 
