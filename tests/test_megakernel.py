@@ -203,6 +203,26 @@ class TestMesh:
         flat_img = render_megakernel(flat, st, rows=16)
         assert np.abs(flat_img - img).mean() > 1e-3
 
+    def test_mesh_megakernel_streamed(self):
+        """HBM-streamed mesh mode (cluster table above the VMEM budget:
+        live leaves DMA their block into scratch) must be bit-identical to
+        the VMEM-resident walk — same tests, same order, different memory
+        space."""
+        from vimg_tpu.render.mega import kernel as K
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        st = ir.RenderSettings(width=64, height=32, spp=2, max_depth=6,
+                               integrator="mis", batch_size=1 << 14)
+        scene = bumpy_sphere_scene(800, width=64, height=32)
+        ref = render_megakernel(scene, st, rows=8)
+        scene2 = bumpy_sphere_scene(800, width=64, height=32)
+        K._FORCE_STREAM = True
+        try:
+            img = render_megakernel(scene2, st, rows=8)
+        finally:
+            K._FORCE_STREAM = False
+        assert np.array_equal(np.asarray(ref), np.asarray(img))
+
     def test_mesh_megakernel_material_mode(self):
         from vimg_tpu.geometry.cluster_trace import ClusterTracer
         from vimg_tpu.scene.synthetic import bumpy_sphere_scene

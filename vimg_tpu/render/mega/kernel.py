@@ -49,9 +49,15 @@ MESH_CLUSTER_K = 64          # tris per leaf cluster for the in-kernel walk
 # gating + host-side scene packing
 # ---------------------------------------------------------------------------
 
-# max mesh size for the in-kernel cluster walk: the packed cluster table
-# must stay VMEM-resident (~64 B/tri padded; ~16 MB VMEM on v5e)
-MESH_MEGA_MAX_TRIS = 140_000
+# mesh-mode size tiers for the in-kernel cluster walk: below the VMEM
+# budget the packed cluster table is VMEM-resident (~64 B/tri padded,
+# ~16 MB VMEM on v5e); above it the table lives in HBM and live leaves DMA
+# their (rpc, 128) block into a VMEM scratch inside the leaf branch (the
+# cluster_trace.py "resident_dma"/"stream" pattern). The stream cap only
+# bounds host build time, not correctness.
+MESH_VMEM_BUDGET = 10 * 2 ** 20
+MESH_MEGA_MAX_TRIS = 2_000_000
+_FORCE_STREAM = False        # test hook: stream even below the budget
 
 
 def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
@@ -76,11 +82,6 @@ def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     # materials, whose frame-sensitive lobes we only allow on spheres
     # (where the XLA path also uses the ONB frame, intersect.py:388).
     if scene.n_tris():
-        if np.any(np.asarray(scene.tri_flags) & ir.TRI_HAS_NORMALS):
-            # vertex normals ride a second per-tri attr table (mesh mode);
-            # both tables must stay VMEM-resident
-            if scene.n_tris() > MESH_MEGA_MAX_TRIS // 2:
-                return False
         if scene.has_aniso:
             aniso_mats = set(np.nonzero(
                 np.asarray(scene.mat_scalars)[:, ir.MS_ANISO] != 0.0)[0])
@@ -313,6 +314,8 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
         c2w[:3, :3].reshape(-1), c2w[:3, 3],
         np.asarray(scene.bg_color, np.float32)]).astype(np.float32)
 
+    table_bytes = cd.tri_rows.nbytes + (cd.attr_rows.nbytes
+                                        if cd.attr_rows is not None else 0)
     static = dict(
         mesh=True, nt=nt, ns=ns, n_mats=int(mat_type.shape[0]),
         n_lights=int(lt.shape[0]),
@@ -324,6 +327,7 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
         n_nodes=cd.n_nodes, max_k=cd.max_k,
         rows_per_cluster=cd.max_k * 16 // 128,
         has_vnormals=has_vnormals,
+        mesh_stream=table_bytes > MESH_VMEM_BUDGET or _FORCE_STREAM,
     )
     tables = dict(node_aabbs=cd.node_aabbs, node_cid=cd.node_cid,
                   node_skip=cd.node_skip, ctri=cd.tri_rows, sph_c=sph_c,
@@ -410,10 +414,19 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
     mesh = bool(static.get("mesh", False))
     has_vn = bool(static.get("has_vnormals", False))
+    stream = bool(static.get("mesh_stream", False))
     eval_pdf_fn = _make_eval_pdf(settings)
 
     def kernel(*refs):
         cattr_ref = None
+        ctri_buf = ctri_sem = cattr_buf = cattr_sem = None
+        if mesh and stream:
+            # trailing scratch: VMEM cluster buffer(s) + DMA semaphore(s)
+            n_scratch = 4 if has_vn else 2
+            refs, scratch = refs[:-n_scratch], refs[-n_scratch:]
+            ctri_buf, ctri_sem = scratch[0], scratch[1]
+            if has_vn:
+                cattr_buf, cattr_sem = scratch[2], scratch[3]
         if mesh and has_vn:
             (aabb_ref, cid_ref, skip_ref, ctri_ref, cattr_ref, sph_ref,
              matb_ref, mats_ref, light_ref, cam_ref, pix0_ref,
@@ -615,13 +628,24 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 cid = cid_ref[nr // 128, nr % 128]
                 c = jnp.maximum(cid, 0)
 
-                def tconst(k, j):
-                    flat = k * 16 + j
-                    return ctri_ref[c * rpc + flat // 128, flat % 128]
+                if stream:
+                    # tri table in HBM: tri_tests DMAs cluster c's block
+                    # into the VMEM scratch first, reads go there
+                    def tconst(k, j):
+                        flat = k * 16 + j
+                        return ctri_buf[flat // 128, flat % 128]
 
-                def tattr(k, j):
-                    flat = k * 16 + j
-                    return cattr_ref[c * rpc + flat // 128, flat % 128]
+                    def tattr(k, j):
+                        flat = k * 16 + j
+                        return cattr_buf[flat // 128, flat % 128]
+                else:
+                    def tconst(k, j):
+                        flat = k * 16 + j
+                        return ctri_ref[c * rpc + flat // 128, flat % 128]
+
+                    def tattr(k, j):
+                        flat = k * 16 + j
+                        return cattr_ref[c * rpc + flat // 128, flat % 128]
 
                 arow = nr // 16
                 acol = (nr % 16) * 8
@@ -739,6 +763,18 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     return jnp.any(live & (stin <= stout))
 
                 def tri_tests(carry):
+                    if stream:
+                        dma = pltpu.make_async_copy(
+                            ctri_ref.at[pl.ds(c * rpc, rpc), :],
+                            ctri_buf, ctri_sem)
+                        dma.start()
+                        if has_vn:
+                            dma2 = pltpu.make_async_copy(
+                                cattr_ref.at[pl.ds(c * rpc, rpc), :],
+                                cattr_buf, cattr_sem)
+                            dma2.start()
+                            dma2.wait()
+                        dma.wait()
                     if n_sub == 1:
                         return test16(0, carry)
                     for s in range(n_sub):
@@ -1312,13 +1348,23 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
     kernel = _make_kernel(scene, settings, static, rows, n_pixels,
                           walk_batch)
 
+    scratch_shapes = []
     if static.get("mesh"):
         # node tables + scalars in SMEM; the packed cluster tri table (and
         # the attr table when vertex normals exist) are full-array VMEM
-        # operands (resident_direct cluster mode)
-        n_vmem = 2 if static.get("has_vnormals") else 1
+        # operands (resident_direct cluster mode) — or HBM operands with a
+        # per-leaf DMA scratch when they exceed the VMEM budget
+        n_tab = 2 if static.get("has_vnormals") else 1
+        if static.get("mesh_stream"):
+            tab_space = pltpu.ANY
+            rpc = static["rows_per_cluster"]
+            for _ in range(n_tab):
+                scratch_shapes += [pltpu.VMEM((rpc, 128), jnp.float32),
+                                   pltpu.SemaphoreType.DMA(())]
+        else:
+            tab_space = pltpu.VMEM
         in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
-                    + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_vmem
+                    + [pl.BlockSpec(memory_space=tab_space)] * n_tab
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6)
     else:
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 8
@@ -1340,6 +1386,7 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
             pl.BlockSpec((8, 128), lambda g: (g, 0),
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
     return jax.jit(fn)
@@ -1390,6 +1437,7 @@ def _static_key(scene, static):
             static["any_sphere_light_prim"],
             bool(static.get("mesh", False)), static.get("n_nodes", 0),
             static.get("max_k", 0), bool(static.get("has_vnormals", False)),
+            bool(static.get("mesh_stream", False)),
             scene.has_lambertian, scene.has_dielectric,
             scene.has_principled, scene.has_sheen, scene.has_clearcoat,
             scene.has_aniso, scene.has_spec_trans,
