@@ -190,9 +190,11 @@ def bench_mesh(T=100_000, spp=16, W=512, H=256):
             build_s=round(build_s, 2), first_s=round(first, 1),
             best_s=round(best, 3), mpaths=round(mpaths, 3),
             mrays=round(rays / best / 1e6, 2),
+            supersteps=stats.get("supersteps"),
             img_mean=float(np.asarray(img).mean()))
         log(f"mesh e2e rows={rows}: first={first:.1f}s best={best:.2f}s "
             f"{mpaths:.3f} Mpaths/s {rays/best/1e6:.2f} Mrays/s "
+            f"steps={stats.get('supersteps')} "
             f"mean={out[f'rows{rows}']['img_mean']:.5f}")
         RESULTS["mesh_e2e"] = out
         save()
