@@ -75,16 +75,18 @@ class TestClusterTracer:
         assert (oc == ob).mean() > 0.999
 
     def test_cluster_cut_covers_all_tris(self):
-        scene = _soup_scene(T=777, spheres=0)
+        """perm must be a permutation of 0..T-1 over the valid slots:
+        every tri appears exactly once, and id 0 appears exactly
+        (padding_slots + 1) times since padded slots store 0."""
+        T = 777
+        scene = _soup_scene(T=T, spheres=0)
         ct = ClusterTracer(scene)
-        ids = np.sort(ct.data.perm[np.asarray(
-            ct.data.perm >= 0) & np.asarray(
-            np.arange(ct.data.perm.shape[0]) >= 0)])
-        # every original tri appears exactly once among the valid slots
-        valid_ids = ct.data.perm[np.nonzero(
-            ct.data.perm != 0)[0]]  # id 0 ambiguous with padding
-        covered = set(ct.data.perm.tolist())
-        assert set(range(777)) <= covered | {0}
+        perm = np.asarray(ct.data.perm)
+        counts = np.bincount(perm, minlength=T)
+        assert counts.shape[0] == T          # no id outside 0..T-1
+        assert (counts[1:] == 1).all()       # each tri exactly once
+        n_pad = perm.shape[0] - T
+        assert counts[0] == n_pad + 1        # tri 0 once + padding zeros
 
     def test_mesh_render_with_cluster_tracer(self):
         """End-to-end: wavefront MIS render with the cluster tracer equals

@@ -93,12 +93,11 @@ def main(argv=None):
         over["tonemap"] = "agx"
     settings = dataclasses.replace(settings, **over)
 
-    t0 = time.time()
-    tracer = make_tracer(scene, force="sweep" if args.bvh == 1 else None)
-    print(f"Acceleration structure built in {time.time() - t0:.2f}s")
+    force = "sweep" if args.bvh == 1 else None
 
     if args.heatmap is not None:
         from vimg_tpu.render.heatmap import render_heatmap
+        tracer = make_tracer(scene, force=force)
         img = render_heatmap(scene, settings, tracer, args.heatmap)
         out = args.output or _default_name("heatmap")
         film.write_png(out, img)
@@ -110,6 +109,7 @@ def main(argv=None):
         import numpy as np
         from vimg_tpu.render.integrators import trace_radiance
         x, y = (int(v) for v in args.debug_pixel.split())
+        tracer = make_tracer(scene, force=force)
         W, H = settings.width, settings.height
         pix = jnp.full((settings.spp,), x + (H - 1 - y) * W, jnp.int32)
         samp = jnp.arange(settings.spp, dtype=jnp.int32)
@@ -120,8 +120,11 @@ def main(argv=None):
         print(f"pixel ({x} {y}) sRGB:   {srgb.tolist()}")
         return 0
 
+    # the tracer is built lazily by the dispatch: when the megakernel
+    # path engages it packs its own cluster tables, so an eager
+    # make_tracer here would do the host SAH/cluster build twice
     t0 = time.time()
-    img = render_frame(scene, settings, tracer=tracer, progress=True)
+    img = render_frame(scene, settings, tracer_force=force, progress=True)
     dt = time.time() - t0
     n_paths = settings.width * settings.height * settings.spp
     print(f"Render took {dt:.2f}s ({n_paths / dt / 1e6:.2f} Mpaths/s)")

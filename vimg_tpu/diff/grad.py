@@ -73,6 +73,11 @@ def make_train_step(scene: ir.Scene, settings: ir.RenderSettings, tracer,
 
     With a mesh, rays are sharded and gradients psum'd across devices —
     the gradient all-reduce rides ICI while each chip walks its own rays.
+
+    ``tracer`` must be a pure-XLA backend: build it with
+    ``make_tracer(scene, differentiable=True)`` — the Pallas
+    ClusterTracer has no reverse-mode AD rule and jax.grad through it
+    raises.
     """
     import optax
     optimizer = optimizer or optax.adam(1e-2)

@@ -632,6 +632,7 @@ class ClusterTracer:
         tile = self.tile_rows * 128
         n_pad = -(-B // tile) * tile
         n_tiles = n_pad // self.tile_rows // 128
+        minT = jnp.broadcast_to(minT, (B,))
         maxT = jnp.broadcast_to(maxT, (B,))
 
         # re-bin rays into coherent tiles: the walk visits a node iff ANY

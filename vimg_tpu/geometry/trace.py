@@ -26,7 +26,13 @@ class BruteForceTracer:
         return intersect.occlude_bruteforce(scene, ro, rd, minT, maxT)
 
 
-def make_tracer(scene: ir.Scene, force=None):
+def make_tracer(scene: ir.Scene, force=None, differentiable=False):
+    """Pick the intersection backend.
+
+    ``differentiable=True`` restricts the choice to pure-XLA backends:
+    the Pallas ClusterTracer has no reverse-mode AD rule, so gradient
+    paths (diff/grad.py) must not receive it even on accelerators.
+    """
     import jax
     n_prims = scene.n_tris() + scene.n_spheres()
     if force == "brute":
@@ -39,7 +45,11 @@ def make_tracer(scene: ir.Scene, force=None):
         # limited to ~2e-3 rel error by this platform's matmul paths)
         from vimg_tpu.geometry.soa_intersect import SoATracer
         return SoATracer(scene)
-    if force == "cluster" or (force is None and scene.n_tris() > 0
+    if force == "cluster" or (force is None and not differentiable
+                              and scene.n_tris() > 0
+                              # unrolled per-sphere merge: gate like the
+                              # megakernel does (kernel.py n_spheres<=64)
+                              and scene.n_spheres() <= 64
                               and jax.default_backend() != "cpu"):
         # TPU mesh path: Pallas treelet-cluster streaming — dense VPU
         # work only, no per-lane gathers (geometry/cluster_trace.py)

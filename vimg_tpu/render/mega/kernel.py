@@ -1396,6 +1396,17 @@ _MEGA_CACHE = {}
 _PACK_CACHE = {}
 
 
+def _mega_cache_put(key, scene, static):
+    """Bounded insert: each entry pins a Scene + packed tables (up to
+    ~100 MB for streamed meshes) — long-lived processes sweeping configs
+    must not grow this without limit. _build_renderer reads the entry
+    synchronously during its (cached) build, so evicting older keys is
+    safe: a future cache-miss re-inserts before building."""
+    if len(_MEGA_CACHE) > 16:
+        _MEGA_CACHE.clear()
+    _MEGA_CACHE[key] = (scene, static)
+
+
 def _pack_scene_cached(scene):
     """Cache packed tables per Scene object — mesh packing builds the
     cluster tables (a host SAH build), too slow to repeat per render call.
@@ -1515,7 +1526,7 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
         walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
     static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, n_blocks, walk_batch)
-    _MEGA_CACHE[scene_key] = (scene, static)
+    _mega_cache_put(scene_key, scene, static)
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
                          n_pixels, interpret, walk_batch)
 
@@ -1575,7 +1586,7 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, blocks_per_dev, "sharded",
                  walk_batch)
-    _MEGA_CACHE[scene_key] = (scene, static)
+    _mega_cache_put(scene_key, scene, static)
     interpret = jax.default_backend() == "cpu"
     fn = _build_renderer(scene_key, settings, static_key, rows,
                          blocks_per_dev, n_pixels, interpret, walk_batch)

@@ -66,10 +66,15 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
 
 
 def render_frame(scene, settings, tracer=None, progress=False,
-                 integrator=None, use_wavefront=True):
+                 integrator=None, use_wavefront=True, tracer_force=None):
     """Render dispatch: the Pallas megakernel for supported MIS scenes on
     accelerators, the persistent wavefront for other full MIS frames, the
-    chunked loop renderer otherwise."""
+    chunked loop renderer otherwise.
+
+    ``tracer`` is only consumed by the non-megakernel paths — build it
+    lazily (or pass ``tracer_force`` and let the dispatch build it) so the
+    megakernel path doesn't pay a wasted host acceleration-structure
+    build."""
     name = integrator or settings.integrator
     if use_wavefront and name in ("mis", "material"):
         import dataclasses
@@ -83,8 +88,10 @@ def render_frame(scene, settings, tracer=None, progress=False,
             return render_megakernel(scene, st, progress=progress)
         if name == "mis":
             from vimg_tpu.render.wavefront import render_wavefront
+            tracer = tracer or make_tracer(scene, force=tracer_force)
             return render_wavefront(scene, settings, tracer=tracer,
                                     progress=progress)
+    tracer = tracer or make_tracer(scene, force=tracer_force)
     return render(scene, settings, tracer=tracer, progress=progress,
                   integrator=integrator)
 
