@@ -239,6 +239,41 @@ def bench_mesh_mega(T=100_000, spp=16, W=512, H=256):
         save()
 
 
+def bench_mesh_terrain(T=100_000, spp=16, W=512, H=256):
+    """Open-terrain mesh scene: the coverage-friendly topology extreme
+    (bounce rays see local geometry only) — bounds where real room/object
+    scenes land between this and the bumpy sphere's worst case."""
+    from vimg_tpu.render.mega import render_megakernel, supports_megakernel
+    from vimg_tpu.scene import ir as _ir
+    from vimg_tpu.scene.synthetic import terrain_scene
+
+    scene = terrain_scene(T, width=W, height=H)
+    st = _ir.RenderSettings(width=W, height=H, spp=spp, max_depth=16,
+                            integrator="mis")
+    assert supports_megakernel(scene, st)
+    total = W * H * spp
+    t0 = time.time()
+    img, stats = render_megakernel(scene, st, rows=32, return_stats=True)
+    first = time.time() - t0
+    best = stats["seconds"]
+    for _ in range(2):
+        _, s2 = render_megakernel(scene, st, rows=32, return_stats=True)
+        best = min(best, s2["seconds"])
+    rays = stats["segments"] + stats["shadow_rays"]
+    RESULTS["mesh_terrain"] = dict(
+        tris=T, spp=spp, first_s=round(first, 1), best_s=round(best, 3),
+        mpaths=round(total / best / 1e6, 3),
+        mrays=round(rays / best / 1e6, 3),
+        visits=stats["node_visits"], leaves=stats["leaf_visits"],
+        img_mean=float(np.asarray(img).mean()),
+        finite=bool(np.isfinite(np.asarray(img)).all()))
+    log(f"mesh-terrain T={T}: first={first:.1f}s best={best:.3f}s "
+        f"{total/best/1e6:.3f} Mpaths/s {rays/best/1e6:.3f} Mrays/s "
+        f"visits={stats['node_visits']:.0f} leaves={stats['leaf_visits']:.0f} "
+        f"mean={RESULTS['mesh_terrain']['img_mean']:.5f}")
+    save()
+
+
 def bench_mesh_mega_big(T=500_000, spp=4, W=512, H=256):
     """HBM-streamed mesh megakernel: a scene whose cluster table exceeds
     the VMEM budget (~43 MB at 500k tris) — live leaves DMA their block."""
@@ -310,6 +345,8 @@ if __name__ == "__main__":
         bench_mesh()
     if "meshmega" not in skip:
         bench_mesh_mega()
+    if "meshterrain" not in skip:
+        bench_mesh_terrain()
     if "meshmegabig" not in skip:
         bench_mesh_mega_big()
     if "smoke" not in skip:

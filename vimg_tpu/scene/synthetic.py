@@ -73,3 +73,47 @@ def bumpy_sphere_scene(n_tris=100_000, width=512, height=256, seed=0,
     cam = Camera.make(look_at([0.0, 0.6, 3.2], [0.0, 0.0, 0.0],
                               [0.0, 1.0, 0.0]), width, height, 40.0)
     return b.build(camera=cam, bg_color=(0.05, 0.06, 0.08))
+
+
+def terrain_mesh(n_tris=100_000, seed=0, size=8.0, relief=0.8):
+    """(verts, tris) of a fractal-noise heightfield with ~n_tris.
+
+    Opposite topology extreme to the bumpy sphere: a mostly-open surface
+    where a point's bounce rays see only LOCAL geometry, so a tile-union
+    traversal touches a small fraction of clusters — the behavior real
+    room/object scenes (lego, statues) sit between."""
+    rs = np.random.RandomState(seed)
+    n = int(np.sqrt(n_tris / 2)) + 1
+    xs = np.linspace(-size / 2, size / 2, n)
+    xx, zz = np.meshgrid(xs, xs, indexing="ij")
+    h = np.zeros((n, n))
+    for octave in range(4):
+        f = 2.0 ** octave
+        h += (np.sin(xx * 1.7 * f + rs.rand() * 9)
+              * np.cos(zz * 1.3 * f + rs.rand() * 9)) / (1.6 ** octave)
+    h = (h / np.abs(h).max()) * relief
+    verts = np.stack([xx.ravel(), h.ravel(), zz.ravel()], -1).astype(
+        np.float32)
+    idx = np.arange((n - 1) * n).reshape(n - 1, n)[:, :n - 1].ravel()
+    a = idx
+    tris = np.concatenate([
+        np.stack([a, a + 1, a + n], -1),
+        np.stack([a + 1, a + n + 1, a + n], -1)], axis=0)
+    tris = np.stack([tris[:len(a)], tris[len(a):]], axis=1).reshape(-1, 3)
+    return verts, np.ascontiguousarray(tris[:n_tris] if len(tris) > n_tris
+                                       else tris)
+
+
+def terrain_scene(n_tris=100_000, width=512, height=256, seed=0):
+    """Open-terrain mesh benchmark scene: heightfield + overhead light."""
+    verts, tris = terrain_mesh(n_tris, seed)
+    b = SceneBuilder()
+    m = b.add_material(ir.MAT_LAMBERTIAN, base=(0.55, 0.5, 0.42))
+    b.add_mesh(verts, tris, m)
+    light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(14.0, 13.5, 12.0))
+    lv = np.array([[-1.2, 4.0, -1.2], [1.2, 4.0, -1.2],
+                   [1.2, 4.0, 1.2], [-1.2, 4.0, 1.2]], np.float32)
+    b.add_mesh(lv, np.array([[0, 1, 2], [0, 2, 3]]), light)
+    cam = Camera.make(look_at([0.0, 2.2, 4.6], [0.0, 0.0, 0.0],
+                              [0.0, 1.0, 0.0]), width, height, 45.0)
+    return b.build(camera=cam, bg_color=(0.25, 0.3, 0.38))
