@@ -203,6 +203,24 @@ class TestMesh:
         flat_img = render_megakernel(flat, st, rows=16)
         assert np.abs(flat_img - img).mean() > 1e-3
 
+    def test_mesh_megakernel_terrain(self):
+        """Second mesh topology (open heightfield): megakernel vs the XLA
+        wavefront+ClusterTracer, statistical parity as above."""
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene.synthetic import terrain_scene
+
+        scene = terrain_scene(900, width=64, height=32)
+        st = ir.RenderSettings(width=64, height=32, spp=4, max_depth=8,
+                               integrator="mis", batch_size=1 << 14)
+        assert supports_megakernel(scene, st)
+        img = render_megakernel(scene, st, rows=16)
+        ref = render_wavefront(scene, st, tracer=ClusterTracer(scene))
+        assert np.isfinite(img).all()
+        d = np.abs(ref - img)
+        assert d.mean() < 1e-4
+        assert (d.max(-1) > 1e-5).mean() < 0.01
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.999
+
     def test_mesh_megakernel_streamed(self):
         """HBM-streamed mesh mode (cluster table above the VMEM budget:
         live leaves DMA their block into scratch) must be bit-identical to
