@@ -139,6 +139,24 @@ class TestParity:
         assert np.abs(ref - img).mean() < 6e-3
         assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.99
 
+    def test_sample_offset_slabs_compose(self):
+        """Two half-spp slabs at sample offsets 0 and spp/2 must average
+        to the full render (checkpoint/resume on the megakernel path).
+        Only the f32 accumulation grouping differs."""
+        p = os.path.join(SCENES, "cornell_box_spheres.json")
+        if not os.path.exists(p):
+            pytest.skip("reference scenes unavailable")
+        scene, st = load_json_scene(p)
+        st = dataclasses.replace(st, width=64, height=32, spp=8, max_depth=6)
+        full = render_megakernel(scene, st, rows=8)
+        half = dataclasses.replace(st, spp=4)
+        a = render_megakernel(scene, half, rows=8, sample_offset=0)
+        b = render_megakernel(scene, half, rows=8, sample_offset=4)
+        comp = (np.asarray(a) + np.asarray(b)) / 2.0
+        assert np.abs(comp - np.asarray(full)).max() < 1e-5
+        # the offset must actually change the streams
+        assert np.abs(np.asarray(a) - np.asarray(b)).mean() > 1e-4
+
     def test_bf16_shading(self):
         """RenderSettings.shading_dtype="bf16" (Disney eval/pdf in bf16,
         geometry + sampling stay f32): no NaNs, small linear error vs f32.

@@ -37,8 +37,8 @@ def render_with_checkpoints(scene, settings, path, slab_spp=16, tracer=None,
                             progress=False, use_wavefront=True):
     """Render in sample slabs, checkpointing after each. Resumes from an
     existing checkpoint at ``path``. Returns the linear image."""
-    from vimg_tpu.geometry.trace import make_tracer
-    tracer = tracer or make_tracer(scene)
+    # the tracer is built lazily inside _render_slab: when the megakernel
+    # serves every slab an eager build here would be wasted work
     W, H = settings.width, settings.height
     total_spp = settings.spp
 
@@ -68,12 +68,23 @@ def render_with_checkpoints(scene, settings, path, slab_spp=16, tracer=None,
 def _render_slab(scene, settings, tracer, sample_offset=0,
                  use_wavefront=True):
     """One sample slab; sample ids are offset so RNG streams continue."""
-    import jax.numpy as jnp
+    import jax
     from vimg_tpu.render.render import render
     from vimg_tpu.render.wavefront import render_wavefront
 
-    if use_wavefront and settings.integrator == "mis":
-        return render_wavefront(scene, settings, tracer=tracer,
-                                sample_offset=sample_offset)
+    if use_wavefront and settings.integrator in ("mis", "material"):
+        from vimg_tpu.render.mega import (render_megakernel,
+                                          supports_megakernel)
+        if (jax.default_backend() != "cpu"
+                and supports_megakernel(scene, settings)):
+            return render_megakernel(scene, settings,
+                                     sample_offset=sample_offset)
+        if settings.integrator == "mis":
+            from vimg_tpu.geometry.trace import make_tracer
+            tracer = tracer or make_tracer(scene)
+            return render_wavefront(scene, settings, tracer=tracer,
+                                    sample_offset=sample_offset)
+    from vimg_tpu.geometry.trace import make_tracer
+    tracer = tracer or make_tracer(scene)
     return render(scene, settings, tracer=tracer,
                   sample_offset=sample_offset)

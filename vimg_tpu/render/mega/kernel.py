@@ -469,6 +469,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1))
         # one pixel per lane; pix0 = this shard's first slot (0 unsharded)
         slot = pix0_ref[0, 0] + g * P + lane
+        samp_off = pix0_ref[0, 1]   # global sample-id shift (checkpoints)
         if mesh:
             # MESH MODE: blocks are square-ish image TILES, not scanline
             # stripes. A 2048-lane stripe block is 4 rows x 512 px — its
@@ -1115,7 +1116,8 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             # regenerate idle lanes (wavefront refill, static schedule)
             busy = m < spp
             gen = busy & ~active
-            samp = m          # this lane's sample index (+offset by caller)
+            samp = m + samp_off   # global sample index: RNG streams and
+                                  # the r2 jitter continue across slabs
             ro_new, rd_new = primary_ray(samp)
             ro = where(gen, ro_new, ro)
             rd = where(gen, rd_new, rd)
@@ -1496,8 +1498,11 @@ DEFAULT_WALK_BATCH = 2       # mesh walk: node steps per while iteration.
 
 def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
                       rows=DEFAULT_ROWS, return_stats=False, progress=False,
-                      walk_batch=None):
-    """Full-frame MIS render with the persistent Pallas megakernel."""
+                      walk_batch=None, sample_offset=0):
+    """Full-frame MIS render with the persistent Pallas megakernel.
+
+    ``sample_offset`` shifts every per-pixel sample id (and so every RNG
+    stream) — checkpoint slabs use it to continue a render exactly."""
     import time
 
     tables, static = _pack_scene_cached(scene)
@@ -1530,7 +1535,8 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
                          n_pixels, interpret, walk_batch)
 
-    args = _runtime_args(tables, static) + (np.zeros((1, 1), np.int32),)
+    args = _runtime_args(tables, static) + (
+        np.array([[0, sample_offset]], np.int32),)
     t0 = time.time()
     film_r, film_g, film_b, stats = jax.block_until_ready(fn(*args))
     dt = time.time() - t0
@@ -1595,7 +1601,8 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
 
     def shard_fn(*tb):
         i = jax.lax.axis_index(axis)
-        pix0 = (i * (blocks_per_dev * P)).astype(jnp.int32).reshape(1, 1)
+        pix0 = jnp.stack([(i * (blocks_per_dev * P)).astype(jnp.int32),
+                          jnp.int32(0)]).reshape(1, 2)
         return fn(*tb, pix0)
 
     rep = PartitionSpec()
