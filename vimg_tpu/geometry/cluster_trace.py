@@ -131,20 +131,11 @@ def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
 
 
 def _tri_constants_f32(verts, tri_vidx):
-    """Plane + dual-basis constants (f64 precompute, f32 store) — same
-    formulation as soa_intersect.build_constants."""
-    v = np.asarray(verts, np.float64)
-    p0 = v[tri_vidx[:, 0]]
-    e1 = v[tri_vidx[:, 1]] - p0
-    e2 = v[tri_vidx[:, 2]] - p0
-    n = np.cross(e1, e2)
-    n2 = np.maximum((n * n).sum(1, keepdims=True), 1e-300)
-    m1 = np.cross(e2, n) / n2
-    m2 = np.cross(n, e1) / n2
-    return np.concatenate([
-        n, (p0 * n).sum(1, keepdims=True),
-        m1, (p0 * m1).sum(1, keepdims=True),
-        m2, (p0 * m2).sum(1, keepdims=True)], axis=1).astype(np.float32)
+    """Plane + dual-basis constants — the shared soa_intersect
+    formulation (one implementation, so the cluster path can never drift
+    from the dense tracer it must match exactly)."""
+    from vimg_tpu.geometry.soa_intersect import tri_constants
+    return tri_constants(verts, tri_vidx)
 
 
 class ClusterData:

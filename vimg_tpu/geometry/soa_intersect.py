@@ -23,24 +23,29 @@ from vimg_tpu.geometry.intersect import HitResult
 from vimg_tpu.scene import ir
 
 
+def tri_constants(verts, tri_vidx):
+    """Plane + dual-basis constants for the fused triangle test
+    (f64 precompute, f32 store). Shared by every backend that packs tri
+    constants (SoA, cluster tables) — one formulation, zero drift."""
+    v = np.asarray(verts, np.float64)
+    tidx = np.asarray(tri_vidx)
+    p0 = v[tidx[:, 0]]
+    e1 = v[tidx[:, 1]] - p0
+    e2 = v[tidx[:, 2]] - p0
+    n = np.cross(e1, e2)
+    n2 = np.maximum((n * n).sum(1, keepdims=True), 1e-300)
+    m1 = np.cross(e2, n) / n2
+    m2 = np.cross(n, e1) / n2
+    return np.concatenate([
+        n, (p0 * n).sum(1, keepdims=True),
+        m1, (p0 * m1).sum(1, keepdims=True),
+        m2, (p0 * m2).sum(1, keepdims=True)], axis=1).astype(np.float32)
+
+
 def build_constants(scene: ir.Scene):
     nt = scene.n_tris()
     ns = scene.n_spheres()
-    tri = None
-    if nt:
-        v = np.asarray(scene.verts, np.float64)
-        tidx = np.asarray(scene.tri_vidx)
-        p0 = v[tidx[:, 0]]
-        e1 = v[tidx[:, 1]] - p0
-        e2 = v[tidx[:, 2]] - p0
-        n = np.cross(e1, e2)
-        n2 = np.maximum((n * n).sum(1, keepdims=True), 1e-300)
-        m1 = np.cross(e2, n) / n2
-        m2 = np.cross(n, e1) / n2
-        tri = np.concatenate([
-            n, (p0 * n).sum(1, keepdims=True),
-            m1, (p0 * m1).sum(1, keepdims=True),
-            m2, (p0 * m2).sum(1, keepdims=True)], axis=1).astype(np.float32)
+    tri = tri_constants(scene.verts, scene.tri_vidx) if nt else None
     sph = None
     if ns:
         c = np.asarray(scene.sph_center, np.float64)

@@ -98,6 +98,90 @@ def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     return True
 
 
+# --- shared packing helpers (BOTH scene modes): f32 op order matches the
+# XLA path exactly (intersect.py n_g, emitters.py areas) so epsilon races
+# decide the same way — see the tri_n note in _pack_scene ---------------
+
+def _f32_cross(a, b):
+    a = a.astype(np.float32)
+    b = b.astype(np.float32)
+    return np.stack([a[1] * b[2] - a[2] * b[1],
+                     a[2] * b[0] - a[0] * b[2],
+                     a[0] * b[1] - a[1] * b[0]])
+
+
+def _f32_norm2(c):
+    return (c[0] * c[0] + c[1] * c[1]) + c[2] * c[2]
+
+
+def _resolved_mat_base(scene):
+    """Effective base colors: TEX_CONST textures resolved host-side."""
+    mat_base = np.asarray(scene.mat_base, np.float32).copy()
+    mtex = np.asarray(scene.mat_tex)
+    for k in range(mat_base.shape[0]):
+        if mtex.size and mtex[k, 0] >= 0:
+            mat_base[k] = np.asarray(scene.tex_cols)[mtex[k, 0], 0]
+    return mat_base
+
+
+def _cam_row(scene):
+    cam = scene.camera
+    c2w = np.asarray(cam.cam2world, np.float32)
+    return np.concatenate([
+        [float(cam.vfov_deg), float(cam.aperture_radius),
+         float(cam.focal_dist), 0.0],
+        c2w[:3, :3].reshape(-1), c2w[:3, 3],
+        np.asarray(scene.bg_color, np.float32)]).astype(np.float32)
+
+
+def _light_rows32(scene, mat_base):
+    """32-wide light rows, one layout for both kernel modes.
+
+    tri -> p0, p1, p2, unit face normal, area, emit, then slots 16..24 the
+    per-vertex normals n0/n1/n2 (face normal x3 when the tri has none —
+    interpolating them reproduces emitters._sample_tri:50-66 bit-exactly
+    in both cases). sphere -> center, radius, emit."""
+    nt, ns = scene.n_tris(), scene.n_spheres()
+    lt = np.asarray(scene.light_type)
+    li = np.asarray(scene.light_idx)
+    light_rows = np.zeros((max(len(lt), 1), 32), np.float32)
+    verts32 = np.asarray(scene.verts, np.float32)
+    tvidx = np.asarray(scene.tri_vidx)
+    tri_mat = np.asarray(scene.tri_mat) if nt else np.zeros(0, np.int32)
+    sph_mat = np.asarray(scene.sph_mat) if ns else np.zeros(0, np.int32)
+    tri_flags = np.asarray(scene.tri_flags) if nt else np.zeros(0, np.int32)
+    vnorm32 = np.asarray(scene.vnormals, np.float32) \
+        if scene.vnormals is not None else None
+    sph_center32 = np.asarray(scene.sph_center, np.float32) \
+        if ns else np.zeros((0, 3), np.float32)
+    sph_radius32 = np.asarray(scene.sph_radius, np.float32) \
+        if ns else np.zeros((0,), np.float32)
+    for l, (t, idx) in enumerate(zip(lt, li)):
+        if t == ir.LIGHT_TRI:
+            p0, p1, p2 = verts32[tvidx[idx]]
+            c = _f32_cross(p1 - p0, p2 - p0)
+            n2 = _f32_norm2(c)
+            nrm = c * (np.float32(1.0)
+                       / np.sqrt(np.maximum(n2, np.float32(1e-38))))
+            # emitters._sample_tri area: sqrt(max(length2(cross(e2,e1)),0))/2
+            a2 = _f32_norm2(_f32_cross(p2 - p0, p1 - p0))
+            area = np.sqrt(np.maximum(a2, np.float32(0.0))) / np.float32(2.0)
+            emit = mat_base[int(tri_mat[idx])]
+            if vnorm32 is not None and (tri_flags[idx]
+                                        & ir.TRI_HAS_NORMALS):
+                ln0, ln1, ln2 = vnorm32[tvidx[idx]]
+            else:
+                ln0 = ln1 = ln2 = nrm
+            light_rows[l, :25] = np.concatenate(
+                [p0, p1, p2, nrm, [area], emit,
+                 ln0, ln1, ln2]).astype(np.float32)
+        elif t == ir.LIGHT_SPHERE:
+            emit = mat_base[int(sph_mat[idx])]
+            light_rows[l, :7] = np.concatenate(
+                [sph_center32[idx], [sph_radius32[idx]], emit])
+    return light_rows
+
+
 def _pack_scene(scene: ir.Scene):
     """Flatten the scene into small numpy tables (the kernel's SMEM args)
     plus static python metadata baked into the trace.
@@ -146,16 +230,6 @@ def _pack_scene(scene: ir.Scene):
     # tri normals/areas in f32 with the SAME op order as the XLA path
     # (intersect.py n_g, emitters.surf_pdf): ulp-exact values keep the
     # epsilon races (shadow dist-eps, one-sided tests) deciding the same way
-    def _f32_cross(a, b):
-        a = a.astype(np.float32)
-        b = b.astype(np.float32)
-        return np.stack([a[1] * b[2] - a[2] * b[1],
-                         a[2] * b[0] - a[0] * b[2],
-                         a[0] * b[1] - a[1] * b[0]])
-
-    def _f32_norm2(c):
-        return (c[0] * c[0] + c[1] * c[1]) + c[2] * c[2]
-
     tri_area = []
     tri_n = np.zeros((max(nt, 1), 3), np.float32)
     if nt:
@@ -175,47 +249,12 @@ def _pack_scene(scene: ir.Scene):
                                   / np.float32(2.0)))
         tri_v = np.concatenate([tri_v, tri_n], axis=1)
 
-    # effective base colors: TEX_CONST textures resolved here
-    mat_base = np.asarray(scene.mat_base, np.float32).copy()
-    mtex = np.asarray(scene.mat_tex)
-    for k in range(mat_base.shape[0]):
-        if mtex.size and mtex[k, 0] >= 0:
-            mat_base[k] = np.asarray(scene.tex_cols)[mtex[k, 0], 0]
+    mat_base = _resolved_mat_base(scene)
     mat_scalars = np.asarray(scene.mat_scalars, np.float32)
-
-    # light rows: tri -> p0, p1, p2, unit n, area; sphere -> center, radius.
-    # All f32 with emitters.py op order (see tri_n note above).
     lt = np.asarray(scene.light_type)
-    li = np.asarray(scene.light_idx)
     light_is_tri = [bool(t == ir.LIGHT_TRI) for t in lt]
-    light_rows = np.zeros((max(len(lt), 1), 16), np.float32)
-    verts32 = np.asarray(scene.verts, np.float32)
-    tvidx = np.asarray(scene.tri_vidx)
-    sph_center32 = np.asarray(scene.sph_center, np.float32) \
-        if ns else np.zeros((0, 3), np.float32)
-    sph_radius32 = np.asarray(scene.sph_radius, np.float32) \
-        if ns else np.zeros((0,), np.float32)
-    for l, (t, idx) in enumerate(zip(lt, li)):
-        if t == ir.LIGHT_TRI:
-            p0, p1, p2 = verts32[tvidx[idx]]
-            # emitters._sample_tri area: sqrt(max(length2(cross(e2,e1)),0))/2
-            a2 = _f32_norm2(_f32_cross(p2 - p0, p1 - p0))
-            area = np.sqrt(np.maximum(a2, np.float32(0.0))) / np.float32(2.0)
-            emit = mat_base[tri_mat[idx]]
-            light_rows[l] = np.concatenate(
-                [p0, p1, p2, tri_n[idx], [area], emit]).astype(np.float32)
-        elif t == ir.LIGHT_SPHERE:
-            emit = mat_base[sph_mat[idx]]
-            light_rows[l, :7] = np.concatenate(
-                [sph_center32[idx], [sph_radius32[idx]], emit])
-
-    cam = scene.camera
-    c2w = np.asarray(cam.cam2world, np.float32)
-    cam_row = np.concatenate([
-        [float(cam.vfov_deg), float(cam.aperture_radius),
-         float(cam.focal_dist), 0.0],
-        c2w[:3, :3].reshape(-1), c2w[:3, 3],
-        np.asarray(scene.bg_color, np.float32)]).astype(np.float32)
+    light_rows = _light_rows32(scene, mat_base)
+    cam_row = _cam_row(scene)
 
     static = dict(
         nt=nt, ns=ns, n_mats=int(mat_type.shape[0]),
@@ -223,7 +262,7 @@ def _pack_scene(scene: ir.Scene):
         mat_type=[int(t) for t in mat_type],
         prim_mat=prim_mat, prim_emissive=prim_emissive, tri_area=tri_area,
         light_is_tri=light_is_tri,
-        has_dof=float(cam.aperture_radius) > 0.0,
+        has_dof=float(scene.camera.aperture_radius) > 0.0,
         any_sphere_light_prim=any(
             prim_emissive[nt + j] for j in range(ns)) if ns else False,
     )
@@ -245,74 +284,16 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
         np.any(np.asarray(scene.tri_flags) & ir.TRI_HAS_NORMALS))
     cd = ClusterData(scene, max_k=MESH_CLUSTER_K, with_attrs=has_vnormals)
 
-    mat_base = np.asarray(scene.mat_base, np.float32).copy()
-    mtex = np.asarray(scene.mat_tex)
-    for k in range(mat_base.shape[0]):
-        if mtex.size and mtex[k, 0] >= 0:
-            mat_base[k] = np.asarray(scene.tex_cols)[mtex[k, 0], 0]
+    mat_base = _resolved_mat_base(scene)
     mat_scalars = np.asarray(scene.mat_scalars, np.float32)
     mat_type = np.asarray(scene.mat_type)
     sph_mat = [int(m) for m in np.asarray(scene.sph_mat)] if ns else []
     sph_emissive = [mat_type[m] == ir.MAT_DIFFUSE_LIGHT for m in sph_mat]
 
-    def _f32_cross(a, b):
-        a = a.astype(np.float32)
-        b = b.astype(np.float32)
-        return np.stack([a[1] * b[2] - a[2] * b[1],
-                         a[2] * b[0] - a[0] * b[2],
-                         a[0] * b[1] - a[1] * b[0]])
-
-    def _f32_norm2(c):
-        return (c[0] * c[0] + c[1] * c[1]) + c[2] * c[2]
-
-    # light rows (same layout/op order as the analytic path); mesh rows are
-    # 32 wide — slots 16..24 carry the per-vertex normals n0/n1/n2 of tri
-    # lights (face normal x3 when the tri has none), interpolated by
-    # sample_lights exactly like emitters._sample_tri:50-57
     lt = np.asarray(scene.light_type)
-    li = np.asarray(scene.light_idx)
     light_is_tri = [bool(t == ir.LIGHT_TRI) for t in lt]
-    light_rows = np.zeros((max(len(lt), 1), 32), np.float32)
-    verts32 = np.asarray(scene.verts, np.float32)
-    tvidx = np.asarray(scene.tri_vidx)
-    tri_mat = np.asarray(scene.tri_mat)
-    tri_flags = np.asarray(scene.tri_flags) if nt else np.zeros(0, np.int32)
-    vnorm32 = np.asarray(scene.vnormals, np.float32) \
-        if scene.vnormals is not None else None
-    sph_center32 = np.asarray(scene.sph_center, np.float32) \
-        if ns else np.zeros((0, 3), np.float32)
-    sph_radius32 = np.asarray(scene.sph_radius, np.float32) \
-        if ns else np.zeros((0,), np.float32)
-    for l, (t, idx) in enumerate(zip(lt, li)):
-        if t == ir.LIGHT_TRI:
-            p0, p1, p2 = verts32[tvidx[idx]]
-            c = _f32_cross(p1 - p0, p2 - p0)
-            n2 = _f32_norm2(c)
-            nrm = c * (np.float32(1.0)
-                       / np.sqrt(np.maximum(n2, np.float32(1e-38))))
-            a2 = _f32_norm2(_f32_cross(p2 - p0, p1 - p0))
-            area = np.sqrt(np.maximum(a2, np.float32(0.0))) / np.float32(2.0)
-            emit = mat_base[int(tri_mat[idx])]
-            if vnorm32 is not None and (tri_flags[idx]
-                                        & ir.TRI_HAS_NORMALS):
-                ln0, ln1, ln2 = vnorm32[tvidx[idx]]
-            else:
-                ln0 = ln1 = ln2 = nrm
-            light_rows[l, :25] = np.concatenate(
-                [p0, p1, p2, nrm, [area], emit,
-                 ln0, ln1, ln2]).astype(np.float32)
-        elif t == ir.LIGHT_SPHERE:
-            emit = mat_base[sph_mat[idx]]
-            light_rows[l, :7] = np.concatenate(
-                [sph_center32[idx], [sph_radius32[idx]], emit])
-
-    cam = scene.camera
-    c2w = np.asarray(cam.cam2world, np.float32)
-    cam_row = np.concatenate([
-        [float(cam.vfov_deg), float(cam.aperture_radius),
-         float(cam.focal_dist), 0.0],
-        c2w[:3, :3].reshape(-1), c2w[:3, 3],
-        np.asarray(scene.bg_color, np.float32)]).astype(np.float32)
+    light_rows = _light_rows32(scene, mat_base)
+    cam_row = _cam_row(scene)
 
     table_bytes = cd.tri_rows.nbytes + (cd.attr_rows.nbytes
                                         if cd.attr_rows is not None else 0)
@@ -322,7 +303,7 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
         mat_type=[int(t) for t in mat_type],
         prim_mat=sph_mat, prim_emissive=sph_emissive, tri_area=[],
         light_is_tri=light_is_tri,
-        has_dof=float(cam.aperture_radius) > 0.0,
+        has_dof=float(scene.camera.aperture_radius) > 0.0,
         any_sphere_light_prim=any(sph_emissive),
         n_nodes=cd.n_nodes, max_k=cd.max_k,
         rows_per_cluster=cd.max_k * 16 // 128,
@@ -451,7 +432,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     for m in range(static["n_mats"])]
         mat_sc = [tuple(mats_ref[m, k] for k in range(ir.N_MAT_SCALARS))
                   for m in range(static["n_mats"])]
-        lights = [tuple(light_ref[l, k] for k in range(32 if mesh else 16))
+        lights = [tuple(light_ref[l, k] for k in range(32))
                   for l in range(NL)]
         cam = tuple(cam_ref[0, k] for k in range(19))
         vfov_deg, aperture, focal = cam[0], cam[1], cam[2]
@@ -1029,20 +1010,19 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     area = jnp.where(m, row[12], area)
                     emit = where(m, V3(f0 + row[13], f0 + row[14],
                                        f0 + row[15]), emit)
-                    if mesh and has_vn:
-                        ln0 = where(m, V3(f0 + row[16], f0 + row[17],
-                                          f0 + row[18]), ln0)
-                        ln1 = where(m, V3(f0 + row[19], f0 + row[20],
-                                          f0 + row[21]), ln1)
-                        ln2 = where(m, V3(f0 + row[22], f0 + row[23],
-                                          f0 + row[24]), ln2)
-                if not (mesh and has_vn):
-                    ln0 = ln1 = ln2 = nrm
+                    ln0 = where(m, V3(f0 + row[16], f0 + row[17],
+                                      f0 + row[18]), ln0)
+                    ln1 = where(m, V3(f0 + row[19], f0 + row[20],
+                                      f0 + row[21]), ln1)
+                    ln2 = where(m, V3(f0 + row[22], f0 + row[23],
+                                      f0 + row[24]), ln2)
                 u, v = shade.sample_triangle_uv(r1, r2)
                 w = 1.0 - u - v
                 # op order of emitters._sample_tri:54-66 (per-vertex light
-                # normals interpolate like emitters.py:57; without vertex
-                # normals ln0 == ln1 == ln2 == face normal, same value)
+                # normals interpolate like emitters.py:57; the packer fills
+                # ln0 == ln1 == ln2 == face normal when a tri has no vertex
+                # normals — interpolation then reproduces the old
+                # normalize(nrm*u + nrm*v + nrm*w) bit-exactly)
                 hit_p = p0 * u + p1 * v + p2 * w
                 hit_n = normalize(ln0 * u + ln1 * v + ln2 * w)
                 dvec = hit_p - look_from
