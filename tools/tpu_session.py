@@ -72,33 +72,12 @@ def bench_cluster(T=100_000, B=1 << 17):
     coherent (camera) and incoherent (random) ray batches."""
     import jax.numpy as jnp
     from vimg_tpu.geometry.cluster_trace import ClusterTracer
-    from vimg_tpu.scene.json_loader import SceneBuilder
-    from vimg_tpu.scene import ir as _ir
-    from vimg_tpu.render.camera import Camera
-    from vimg_tpu.core.math import look_at
+    from vimg_tpu.scene.synthetic import bumpy_sphere_scene
 
     rs = np.random.RandomState(0)
-    n = int(np.sqrt(T / 2)) + 1
-    th = np.linspace(1e-3, np.pi - 1e-3, n)
-    ph = np.linspace(0, 2 * np.pi, n)
-    tt, pp = np.meshgrid(th, ph, indexing="ij")
-    r = 1.0 + 0.05 * rs.randn(n, n)
-    verts = np.stack([(r * np.sin(tt) * np.cos(pp)).ravel(),
-                      (r * np.cos(tt)).ravel(),
-                      (r * np.sin(tt) * np.sin(pp)).ravel()],
-                     -1).astype(np.float32)
-    quads = []
-    for i in range(n - 1):
-        for j in range(n - 1):
-            a = i * n + j
-            quads += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
-    tris = np.asarray(quads[:T] if len(quads) > T else quads)
-    b = SceneBuilder()
-    m = b.add_material(_ir.MAT_LAMBERTIAN, base=(0.5, 0.5, 0.5))
-    b.add_mesh(verts, tris, m)
-    cam = Camera.make(look_at([0, 0, 4], [0, 0, 0], [0, 1, 0]), 8, 8, 40.0)
-    scene = b.build(camera=cam)
-    log(f"cluster bench: {tris.shape[0]} tris")
+    # same generator as every other mesh bench/test (scene/synthetic.py)
+    scene = bumpy_sphere_scene(T, width=8, height=8, with_light=False)
+    log(f"cluster bench: {scene.n_tris()} tris")
 
     t0 = time.time()
     ct = ClusterTracer(scene)
@@ -118,7 +97,7 @@ def bench_cluster(T=100_000, B=1 << 17):
     rd_i = rs.randn(B, 3).astype(np.float32)
     rd_i = jnp.asarray(rd_i / np.linalg.norm(rd_i, axis=-1, keepdims=True))
 
-    out = dict(tris=int(tris.shape[0]), clusters=int(ct.data.n_clusters),
+    out = dict(tris=int(scene.n_tris()), clusters=int(ct.data.n_clusters),
                build_s=round(build_s, 2))
     for name, (ro, rd) in [("coherent", (ro_c, rd_c)),
                            ("incoherent", (ro_i, rd_i))]:
