@@ -221,6 +221,26 @@ class TestMesh:
         flat_img = render_megakernel(flat, st, rows=16)
         assert np.abs(flat_img - img).mean() > 1e-3
 
+    def test_mesh_megakernel_sphere_light(self):
+        """Mesh mode with a SPHERE light: exercises surf_pdf_mesh's
+        sphere branch + sphere NEE in the in-kernel walk (previously
+        untested — the standard mesh scenes use a quad light)."""
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        scene = bumpy_sphere_scene(800, width=64, height=32,
+                                   light_shape="sphere")
+        st = ir.RenderSettings(width=64, height=32, spp=4, max_depth=8,
+                               integrator="mis", batch_size=1 << 14)
+        assert supports_megakernel(scene, st)
+        img = render_megakernel(scene, st, rows=16)
+        ref = render_wavefront(scene, st, tracer=ClusterTracer(scene))
+        assert np.isfinite(img).all()
+        d = np.abs(ref - img)
+        assert d.mean() < 1e-4
+        assert (d.max(-1) > 1e-5).mean() < 0.01
+        assert np.corrcoef(ref.ravel(), img.ravel())[0, 1] > 0.999
+
     def test_mesh_megakernel_terrain(self):
         """Second mesh topology (open heightfield): megakernel vs the XLA
         wavefront+ClusterTracer, statistical parity as above."""

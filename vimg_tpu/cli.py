@@ -123,6 +123,15 @@ def main(argv=None):
     # the tracer is built lazily by the dispatch: when the megakernel
     # path engages it packs its own cluster tables, so an eager
     # make_tracer here would do the host SAH/cluster build twice
+    if force == "sweep":
+        import jax
+        from vimg_tpu.render.mega import supports_megakernel
+        if (jax.default_backend() != "cpu"
+                and settings.integrator in ("mis", "material")
+                and supports_megakernel(scene, settings)):
+            print("note: -b 1 (sweep SAH) only affects the wavefront/BVH "
+                  "paths; this render takes the megakernel (binned-SAH "
+                  "cluster tables)")
     t0 = time.time()
     img = render_frame(scene, settings, tracer_force=force, progress=True)
     dt = time.time() - t0

@@ -184,6 +184,14 @@ class ClusterData:
         #   run of 16 consecutive tris (BVH order, so spatially tight) gets
         #   its own box; the kernel gates each 16-tri test group on it.
         n_sub = max(max_k // 16, 1)
+        # hit codes ride the kernels as f32 (c*max_k + k); above 2^24 they
+        # stop being exactly representable and hits would silently map to
+        # the WRONG triangle — refuse rather than corrupt
+        if C * max_k > (1 << 24):
+            raise ValueError(
+                f"mesh too large for the f32 hit-code space: "
+                f"{C} clusters x {max_k} slots > 2^24 "
+                f"({T} tris — shard the mesh or use BVHTracer)")
         tri_rows = np.zeros((C, max_k, ROW16), np.float32)
         perm = np.full((C * max_k,), 0, np.int32)
         consts = _tri_constants_f32(verts, tvidx)

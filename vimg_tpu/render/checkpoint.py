@@ -37,8 +37,18 @@ def render_with_checkpoints(scene, settings, path, slab_spp=16, tracer=None,
                             progress=False, use_wavefront=True):
     """Render in sample slabs, checkpointing after each. Resumes from an
     existing checkpoint at ``path``. Returns the linear image."""
-    # the tracer is built lazily inside _render_slab: when the megakernel
-    # serves every slab an eager build here would be wasted work
+    # build the tracer ONCE, and only when a non-megakernel path will
+    # actually serve the slabs (the megakernel packs its own tables; an
+    # eager build would be wasted — and a per-slab build would repeat the
+    # host acceleration-structure build slab_count times)
+    import jax
+    from vimg_tpu.render.mega import supports_megakernel
+    if tracer is None and not (
+            use_wavefront and settings.integrator in ("mis", "material")
+            and jax.default_backend() != "cpu"
+            and supports_megakernel(scene, settings)):
+        from vimg_tpu.geometry.trace import make_tracer
+        tracer = make_tracer(scene)
     W, H = settings.width, settings.height
     total_spp = settings.spp
 

@@ -884,6 +884,33 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             return p, n, shade.Hit(n_s=n_s, n_g=n, tangent=tangent,
                                    bitangent=bitangent), mat_id
 
+        def sphere_light_pdf(pdf, best_id, ro, p, rd, idf, emissive_at):
+            """Fold each emissive sphere's area pdf into ``pdf`` where
+            best_id == idf(j) (the reference Sphere::surf_pdf cone/inside
+            rule) — shared by both kernel modes, which differ only in the
+            id base and the emissive-prim indexing."""
+            for j, (cx, cy, cz, r2) in enumerate(sphs):
+                if not emissive_at(j):
+                    continue
+                c = V3(f0 + cx, f0 + cy, f0 + cz)
+                toc = ro - c
+                d2 = dot(toc, toc)
+                inside = d2 <= r2
+                sa = 4.0 * math.pi * r2
+                cos_max = jnp.sqrt(jnp.clip(
+                    1.0 - r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
+                pdf_cone = 1.0 / (2.0 * math.pi
+                                  * jnp.maximum(1.0 - cos_max, 1e-12))
+                nrm = normalize(p - c)
+                cosine = jnp.abs(dot(nrm, -rd))
+                dd = p - ro
+                dist2 = dot(dd, dd)
+                spdf = jnp.where(inside, 1.0 / sa,
+                                 pdf_cone * cosine
+                                 / jnp.maximum(dist2, 1e-20))
+                pdf = jnp.where(best_id == idf(j), spdf, pdf)
+            return pdf
+
         def surf_pdf_mesh(best_id, n_tri, ro, p, rd):
             """Mesh-mode area pdf of a BSDF-sampled light hit: tri area is
             |plane normal|/2 (the unnormalized cross product the cluster
@@ -892,26 +919,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             pdf = jnp.where(best_id == 0,
                             1.0 / jnp.maximum(area, 1e-20), f0)
             if static["any_sphere_light_prim"]:
-                for j, (cx, cy, cz, r2) in enumerate(sphs):
-                    if not static["prim_emissive"][j]:
-                        continue
-                    c = V3(f0 + cx, f0 + cy, f0 + cz)
-                    toc = ro - c
-                    d2 = dot(toc, toc)
-                    inside = d2 <= r2
-                    sa = 4.0 * math.pi * r2
-                    cos_max = jnp.sqrt(jnp.clip(
-                        1.0 - r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
-                    pdf_cone = 1.0 / (2.0 * math.pi
-                                      * jnp.maximum(1.0 - cos_max, 1e-12))
-                    nrm = normalize(p - c)
-                    cosine = jnp.abs(dot(nrm, -rd))
-                    dd = p - ro
-                    dist2 = dot(dd, dd)
-                    spdf = jnp.where(inside, 1.0 / sa,
-                                     pdf_cone * cosine
-                                     / jnp.maximum(dist2, 1e-20))
-                    pdf = jnp.where(best_id == 1 + j, spdf, pdf)
+                pdf = sphere_light_pdf(
+                    pdf, best_id, ro, p, rd, lambda j: 1 + j,
+                    lambda j: static["prim_emissive"][j])
             return pdf
 
         def gather_mat(mat_id):
@@ -961,26 +971,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                                     1.0 / max(static["tri_area"][i], 1e-20),
                                     pdf)
             if static["any_sphere_light_prim"]:
-                for j, (cx, cy, cz, r2) in enumerate(sphs):
-                    if not static["prim_emissive"][nt + j]:
-                        continue
-                    c = V3(f0 + cx, f0 + cy, f0 + cz)
-                    toc = ro - c
-                    d2 = dot(toc, toc)
-                    inside = d2 <= r2
-                    sa = 4.0 * math.pi * r2
-                    cos_max = jnp.sqrt(jnp.clip(
-                        1.0 - r2 / jnp.maximum(d2, 1e-20), 0.0, 1.0))
-                    pdf_cone = 1.0 / (2.0 * math.pi
-                                      * jnp.maximum(1.0 - cos_max, 1e-12))
-                    nrm = normalize(p - c)
-                    cosine = jnp.abs(dot(nrm, -rd))
-                    dd = p - ro
-                    dist2 = dot(dd, dd)
-                    spdf = jnp.where(inside, 1.0 / sa,
-                                     pdf_cone * cosine
-                                     / jnp.maximum(dist2, 1e-20))
-                    pdf = jnp.where(best_id == nt + j, spdf, pdf)
+                pdf = sphere_light_pdf(
+                    pdf, best_id, ro, p, rd, lambda j: nt + j,
+                    lambda j: static["prim_emissive"][nt + j])
             return pdf
 
         def sample_lights(look_from, pick, r1, r2):

@@ -42,7 +42,7 @@ def bumpy_sphere_mesh(n_tris=100_000, seed=0, bump=0.05):
 
 def bumpy_sphere_scene(n_tris=100_000, width=512, height=256, seed=0,
                        with_light=True, material=ir.MAT_LAMBERTIAN,
-                       smooth_normals=False):
+                       smooth_normals=False, light_shape="quad"):
     """Mesh benchmark scene: bumpy sphere + emissive quad overhead.
 
     Workload analogue of the reference's glb showcase configs
@@ -64,12 +64,15 @@ def bumpy_sphere_scene(n_tris=100_000, width=512, height=256, seed=0,
     b.add_mesh(verts, tris, m, normals=normals)
     if with_light:
         light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(18.0, 17.0, 15.0))
-        # 1.2x1.2 quad at y=2.4 facing down (winding: cross(p1-p0, p2-p0)
-        # must point -y — emission is one-sided, reference
-        # diffuse_light.h:30-38)
-        lv = np.array([[-0.6, 2.4, -0.6], [0.6, 2.4, -0.6],
-                       [0.6, 2.4, 0.6], [-0.6, 2.4, 0.6]], np.float32)
-        b.add_mesh(lv, np.array([[0, 1, 2], [0, 2, 3]]), light)
+        if light_shape == "sphere":
+            b.add_sphere((0.0, 2.4, 0.0), 0.35, light)
+        else:
+            # 1.2x1.2 quad at y=2.4 facing down (winding: cross(p1-p0,
+            # p2-p0) must point -y — emission is one-sided, reference
+            # diffuse_light.h:30-38)
+            lv = np.array([[-0.6, 2.4, -0.6], [0.6, 2.4, -0.6],
+                           [0.6, 2.4, 0.6], [-0.6, 2.4, 0.6]], np.float32)
+            b.add_mesh(lv, np.array([[0, 1, 2], [0, 2, 3]]), light)
     cam = Camera.make(look_at([0.0, 0.6, 3.2], [0.0, 0.0, 0.0],
                               [0.0, 1.0, 0.0]), width, height, 40.0)
     return b.build(camera=cam, bg_color=(0.05, 0.06, 0.08))
