@@ -518,7 +518,7 @@ def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
                                               jnp.float32))
         out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
                                       memory_space=pltpu.VMEM))
-    tri_space = pltpu.ANY if mode == "stream" else pltpu.VMEM
+    tri_space = pl.ANY if mode == "stream" else pltpu.VMEM
     scratch = []
     if mode != "resident_direct":
         scratch = [pltpu.VMEM((max_k * ROW16 // 128, 128), jnp.float32),

@@ -1331,7 +1331,7 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
         # per-leaf DMA scratch when they exceed the VMEM budget
         n_tab = 2 if static.get("has_vnormals") else 1
         if static.get("mesh_stream"):
-            tab_space = pltpu.ANY
+            tab_space = pl.ANY
             rpc = static["rows_per_cluster"]
             for _ in range(n_tab):
                 scratch_shapes += [pltpu.VMEM((rpc, 128), jnp.float32),
