@@ -337,3 +337,17 @@ class TestSharded:
         single = render_megakernel(scene, st, rows=1)
         multi = render_megakernel_sharded(scene, st, rows=1)
         assert np.abs(single - multi).max() < 1e-6
+
+    def test_sharded_mesh_equals_single(self):
+        """Mesh-mode megakernel sharded over the 8-device virtual mesh:
+        image tiles are disjoint film windows, so the sharded render must
+        equal single-device exactly (incl. the cluster-walk path)."""
+        from vimg_tpu.render.mega.kernel import render_megakernel_sharded
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        scene = bumpy_sphere_scene(600, width=64, height=16)
+        st = ir.RenderSettings(width=64, height=16, spp=2, max_depth=5,
+                               integrator="mis")
+        single = render_megakernel(scene, st, rows=8)
+        multi = render_megakernel_sharded(scene, st, rows=8)
+        assert np.abs(np.asarray(single) - np.asarray(multi)).max() < 1e-6
