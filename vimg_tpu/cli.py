@@ -97,7 +97,10 @@ def main(argv=None):
 
     if args.heatmap is not None:
         from vimg_tpu.render.heatmap import render_heatmap
-        tracer = make_tracer(scene, force=force)
+        # heatmaps visualize BVH traversal cost: force the BVH tracer
+        # (the auto-picked ClusterTracer has no per-ray cost counters and
+        # would fall to the constant-cost brute branch)
+        tracer = make_tracer(scene, force=force or "bvh")
         img = render_heatmap(scene, settings, tracer, args.heatmap)
         out = args.output or _default_name("heatmap")
         film.write_png(out, img)

@@ -45,6 +45,8 @@ def make_tracer(scene: ir.Scene, force=None, differentiable=False):
         # limited to ~2e-3 rel error by this platform's matmul paths)
         from vimg_tpu.geometry.soa_intersect import SoATracer
         return SoATracer(scene)
+    if force == "bvh":
+        return BVHTracer_lazy(scene, None)
     if force == "cluster" or (force is None and not differentiable
                               and scene.n_tris() > 0
                               # unrolled per-sphere merge: gate like the
