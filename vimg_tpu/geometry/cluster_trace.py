@@ -73,25 +73,20 @@ def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
     node_right = built["node_right"]
     node_min = built["node_min"]
     node_max = built["node_max"]
+    node_skip = built["node_skip"]
     N = node_count.shape[0]
-    # subtree prim counts/ranges via an iterative postorder
-    lo = np.full(N, -1, np.int64)
-    hi = np.full(N, -1, np.int64)
-    stack = [(0, False)]
-    while stack:
-        n, done = stack.pop()
-        if node_count[n] > 0:          # leaf
-            lo[n] = node_start[n]
-            hi[n] = node_start[n] + node_count[n]
-            continue
-        if done:
-            l, r = n + 1, node_right[n]
-            lo[n] = min(lo[l], lo[r])
-            hi[n] = max(hi[l], hi[r])
-            continue
-        stack.append((n, True))
-        stack.append((node_right[n], False))
-        stack.append((n + 1, False))
+    # subtree prim ranges, vectorized: in the preorder layout node n's
+    # subtree is the contiguous block [n, skip[n]), and SAH splits keep
+    # prim ranges contiguous — so lo[n] is the start of the first leaf at
+    # index >= n and hi[n] the end of the last leaf before skip[n]. (The
+    # python postorder this replaces walked all N nodes: ~10 s at 2M tris.)
+    leaf_pos = np.nonzero(node_count > 0)[0]
+    leaf_start = node_start[leaf_pos].astype(np.int64)
+    leaf_end = leaf_start + node_count[leaf_pos]
+    first_leaf = np.searchsorted(leaf_pos, np.arange(N))
+    last_leaf = np.searchsorted(leaf_pos, node_skip) - 1
+    lo = leaf_start[np.minimum(first_leaf, len(leaf_pos) - 1)]
+    hi = leaf_end[np.clip(last_leaf, 0, len(leaf_pos) - 1)]
 
     ranges = []
     t_min, t_max, t_cid, t_right = [], [], [], []
@@ -124,9 +119,32 @@ def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
             r = t_right[i]
             st2.append((i + 1, r))
             st2.append((r, s))
-    tree = dict(lo=np.stack(t_min).astype(np.float32),
-                hi=np.stack(t_max).astype(np.float32),
-                cid=np.asarray(t_cid, np.int32), skip=t_skip)
+    lo_a = np.stack(t_min).astype(np.float32)
+    hi_a = np.stack(t_max).astype(np.float32)
+    right = np.asarray(t_right, np.int32)
+    # per-node, per-direction-octant child order for near-first stack
+    # walks (the reference pushes far-then-near, bvh.h:200-213): on the
+    # axis of largest child-center separation, a ray moving toward
+    # +axis should descend the lower-center child first. order bit o
+    # (octant = sign bits of the ray direction, 1 = negative) set =>
+    # visit the RIGHT child first for that octant.
+    order = np.zeros(M, np.int32)
+    inner = right >= 0
+    if inner.any():
+        li = np.minimum(np.arange(M) + 1, M - 1)   # left child = n+1
+        ri = np.maximum(right, 0)
+        cl = (lo_a[li] + hi_a[li]) * 0.5
+        cr = (lo_a[ri] + hi_a[ri]) * 0.5
+        sep = np.abs(cr - cl)
+        axis = np.argmax(sep, axis=1)
+        r_lower = np.take_along_axis(cr, axis[:, None], 1)[:, 0] < \
+            np.take_along_axis(cl, axis[:, None], 1)[:, 0]
+        for o in range(8):
+            neg = (o >> axis) & 1            # octant sign on split axis
+            right_first = np.where(neg.astype(bool), ~r_lower, r_lower)
+            order |= np.where(inner, right_first.astype(np.int32) << o, 0)
+    tree = dict(lo=lo_a, hi=hi_a, cid=np.asarray(t_cid, np.int32),
+                skip=t_skip, right=right, order=order)
     return ranges, tree
 
 
@@ -192,42 +210,43 @@ class ClusterData:
                 f"mesh too large for the f32 hit-code space: "
                 f"{C} clusters x {max_k} slots > 2^24 "
                 f"({T} tris — shard the mesh or use BVHTracer)")
-        tri_rows = np.zeros((C, max_k, ROW16), np.float32)
-        perm = np.full((C * max_k,), 0, np.int32)
         consts = _tri_constants_f32(verts, tvidx)
         tri_mat = np.asarray(scene.tri_mat, np.float32) \
             if scene.tri_mat is not None else np.zeros(T, np.float32)
-        for c, (s, e) in enumerate(ranges):
-            ids = order[s:e]
-            k = ids.shape[0]
-            tri_rows[c, :k, :12] = consts[ids]
-            tri_rows[c, :k, 12] = tri_mat[ids]
-            perm[c * max_k: c * max_k + k] = ids
-            for sb in range(n_sub):
-                sub = ids[sb * 16:(sb + 1) * 16]
-                if sub.size:
-                    lo = bmin[sub].min(axis=0)
-                    hi = bmax[sub].max(axis=0)
-                else:               # empty sub-block: inverted box, never hit
-                    lo = np.full(3, np.inf, np.float32)
-                    hi = np.full(3, -np.inf, np.float32)
-                tri_rows[c, 2 * sb, 13:16] = lo
-                tri_rows[c, 2 * sb + 1, 13:16] = hi
-            # finer 8-tri sub boxes in the NEXT free spare slots (tri rows
-            # 2*n_sub .. 2*n_sub + 2*n_sub8 - 1); additive so the 16-tri
-            # layout above stays valid for the XLA cluster kernel
-            n_sub8 = max(max_k // 8, 1)
-            if 2 * n_sub + 2 * n_sub8 <= max_k:
-                for u in range(n_sub8):
-                    sub = ids[u * 8:(u + 1) * 8]
-                    if sub.size:
-                        lo = bmin[sub].min(axis=0)
-                        hi = bmax[sub].max(axis=0)
-                    else:
-                        lo = np.full(3, np.inf, np.float32)
-                        hi = np.full(3, -np.inf, np.float32)
-                    tri_rows[c, 2 * n_sub + 2 * u, 13:16] = lo
-                    tri_rows[c, 2 * n_sub + 2 * u + 1, 13:16] = hi
+        # fully vectorized packing (the per-cluster python loop cost 2.6 s
+        # at 500k tris — the dominant host build cost)
+        starts = np.asarray([s for s, _ in ranges], np.int64)
+        ends = np.asarray([e for _, e in ranges], np.int64)
+        lens = ends - starts
+        kk = np.arange(max_k)
+        valid = kk[None, :] < lens[:, None]                       # (C, K)
+        ids = order[np.minimum(starts[:, None] + kk[None, :],
+                               ends[:, None] - 1)]                # (C, K)
+        tri_rows = np.zeros((C, max_k, ROW16), np.float32)
+        tri_rows[:, :, :12] = np.where(valid[..., None], consts[ids], 0.0)
+        tri_rows[:, :, 12] = np.where(valid, tri_mat[ids], 0.0)
+        perm = np.where(valid, ids, 0).astype(np.int32).reshape(-1)
+
+        def sub_boxes(width):
+            g = max_k // width
+            idsr = ids[:, :g * width].reshape(C, g, width)
+            mr = valid[:, :g * width].reshape(C, g, width)[..., None]
+            lo = np.where(mr, bmin[idsr], np.inf).min(axis=2)
+            hi = np.where(mr, bmax[idsr], -np.inf).max(axis=2)
+            return lo.astype(np.float32), hi.astype(np.float32)
+
+        lo16, hi16 = sub_boxes(16)
+        tri_rows[:, 0:2 * n_sub:2, 13:16] = lo16
+        tri_rows[:, 1:2 * n_sub:2, 13:16] = hi16
+        # finer 8-tri sub boxes in the NEXT free spare slots (tri rows
+        # 2*n_sub .. 2*n_sub + 2*n_sub8 - 1); additive so the 16-tri
+        # layout above stays valid for the XLA cluster kernel
+        n_sub8 = max(max_k // 8, 1)
+        if 2 * n_sub + 2 * n_sub8 <= max_k:
+            lo8, hi8 = sub_boxes(8)
+            tri_rows[:, 2 * n_sub: 2 * n_sub + 2 * n_sub8: 2, 13:16] = lo8
+            tri_rows[:, 2 * n_sub + 1: 2 * n_sub + 2 * n_sub8: 2,
+                     13:16] = hi8
         self.n_clusters = C
         self.max_k = max_k
         # (C * max_k*16/128, 128) layout, row-major within each cluster
@@ -256,9 +275,7 @@ class ClusterData:
                 n0 = n1 = n2 = fn
             attrs = np.concatenate([n0, n1, n2], axis=1).astype(np.float32)
             attr_rows = np.zeros((C, max_k, ROW16), np.float32)
-            for c, (s, e) in enumerate(ranges):
-                ids = order[s:e]
-                attr_rows[c, :ids.shape[0], :9] = attrs[ids]
+            attr_rows[:, :, :9] = np.where(valid[..., None], attrs[ids], 0.0)
             self.attr_rows = attr_rows.reshape(C * (max_k * ROW16 // 128),
                                                128)
 
@@ -282,6 +299,25 @@ class ClusterData:
         skip[:M] = tree["skip"]
         self.node_cid = cid.reshape(-1, 128)
         self.node_skip = skip.reshape(-1, 128)
+        # right-child + per-octant order tables for the near-first stack
+        # walk (render/mega kernel walk="stack")
+        right = np.full((M128,), -1, np.int32)
+        right[:M] = tree["right"]
+        order = np.zeros((M128,), np.int32)
+        order[:M] = tree["order"]
+        self.node_right = right.reshape(-1, 128)
+        self.node_order = order.reshape(-1, 128)
+        # max stack depth a DFS of the cluster tree can need (root->leaf
+        # path length), for sizing the kernel's SMEM stack
+        st3 = [(0, 1)]
+        maxd = 1
+        while st3:
+            i, d = st3.pop()
+            maxd = max(maxd, d)
+            if tree["cid"][i] < 0:
+                st3.append((i + 1, d + 1))
+                st3.append((int(tree["right"][i]), d + 1))
+        self.tree_depth = maxd
 
 
 # ---------------------------------------------------------------------------
@@ -710,13 +746,25 @@ class ClusterTracer:
                                     jnp.broadcast_to(maxT, occ.shape), True)
         return occ
 
+    # Differentiability: traversal inputs are detached (zero-tangent
+    # semantics — the framework's detached-sampling estimator already
+    # stops gradients at discrete traversal, diff/grad.py docstring), so
+    # reverse-mode AD never has to transpose the Pallas kernel or its
+    # while_loop. Material/emission/texture gradients are bit-identical
+    # to the XLA tracers' (traversal doesn't depend on those params);
+    # camera/geometry gradients lose the (detached-by-design) hit-point
+    # motion term that pure-XLA tracers happen to carry.
+    differentiable = True
+
     def closest(self, scene, ro, rd, minT, maxT):
+        dt = jax.lax.stop_gradient
         return self._closest_jit(self.node_tables, self.tri_rows, self.perm,
-                                 ro, rd, minT, maxT)
+                                 dt(ro), dt(rd), dt(minT), dt(maxT))
 
     def occluded(self, scene, ro, rd, minT, maxT):
+        dt = jax.lax.stop_gradient
         return self._occluded_jit(self.node_tables, self.tri_rows,
-                                  ro, rd, minT, maxT)
+                                  dt(ro), dt(rd), dt(minT), dt(maxT))
 
     def _merge_spheres(self, hr, ro, rd, minT, maxT):
         from vimg_tpu.geometry.soa_intersect import _trace_impl

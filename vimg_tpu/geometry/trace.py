@@ -29,25 +29,32 @@ class BruteForceTracer:
 def make_tracer(scene: ir.Scene, force=None, differentiable=False):
     """Pick the intersection backend.
 
-    ``differentiable=True`` restricts the choice to pure-XLA backends:
-    the Pallas ClusterTracer has no reverse-mode AD rule, so gradient
-    paths (diff/grad.py) must not receive it even on accelerators.
+    ``differentiable=True`` is satisfied by every backend since round 3:
+    the Pallas ClusterTracer detaches its traversal inputs (zero-tangent
+    semantics — exactly the detached-sampling estimator's treatment of
+    discrete traversal), so mesh gradient renders run at full tracer
+    speed instead of falling back to the gather-bound skip-link walk.
     """
     import jax
     n_prims = scene.n_tris() + scene.n_spheres()
     if force == "brute":
         return BruteForceTracer(scene)
     if force == "mxu":
+        # parked formulation note: this platform's matmul paths cap at
+        # ~2e-3 rel error — NOT a production backend (see mxu_intersect)
+        import warnings
+        warnings.warn("force='mxu' is an experimental formulation with "
+                      "~2e-3 intersection error on this platform; use "
+                      "'soa'/'cluster' for production renders")
         from vimg_tpu.geometry.mxu_intersect import MXUBruteForceTracer
         return MXUBruteForceTracer(scene)
     if force == "soa" or (force is None and n_prims <= BRUTE_FORCE_MAX_PRIMS):
-        # flop-lean fused formulation; exact f32 (the MXU variant is
-        # limited to ~2e-3 rel error by this platform's matmul paths)
+        # flop-lean fused formulation; exact f32
         from vimg_tpu.geometry.soa_intersect import SoATracer
         return SoATracer(scene)
     if force == "bvh":
         return BVHTracer_lazy(scene, None)
-    if force == "cluster" or (force is None and not differentiable
+    if force == "cluster" or (force is None
                               and scene.n_tris() > 0
                               # unrolled per-sphere merge: gate like the
                               # megakernel does (kernel.py n_spheres<=64)

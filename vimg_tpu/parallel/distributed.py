@@ -91,6 +91,36 @@ def render_distributed(scene, settings, tracer=None, integrator=None):
     else:  # more processes than samples: this host contributes nothing
         weighted = np.zeros((settings.height, settings.width, 3), np.float32)
 
+    return reduce_films(weighted, settings.spp)
+
+
+def reduce_films(weighted, total_spp):
+    """Cross-host film reduction as an IN-NETWORK all-reduce.
+
+    The round-2 combine was a `process_allgather` + host-side sum:
+    O(hosts x WxHx3) DCN traffic to every host, then serial numpy adds —
+    fine at 2 hosts, the wrong shape for a pod. Here each host's weighted
+    partial film becomes one shard of a ("host",)-sharded global array and
+    XLA reduces the sharded axis — a psum the runtime routes over ICI
+    within a slice and DCN across, O(film) per link with in-network
+    combining. Every host gets the replicated full frame back."""
+    import jax.numpy as jnp
     from jax.experimental import multihost_utils
-    total = multihost_utils.process_allgather(jnp.asarray(weighted))
-    return np.asarray(total).sum(axis=0) / settings.spp
+    from jax.sharding import PartitionSpec as P
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return np.asarray(weighted) / max(total_spp, 1)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(nproc, -1),
+                ("host", "chip"))
+    glob = multihost_utils.host_local_array_to_global_array(
+        np.asarray(weighted)[None], mesh, P("host"))
+
+    @jax.jit
+    def reduce(x):
+        # sum over the sharded host axis => XLA emits an all-reduce
+        return jnp.sum(x, axis=0) / max(total_spp, 1)
+
+    out = reduce(glob)
+    local = multihost_utils.global_array_to_host_local_array(out, mesh, P())
+    return np.asarray(local)

@@ -1,7 +1,11 @@
 """BVH-cost heatmap (reference src/integrators/heatmap.cpp).
 
-One primary ray per pixel center; the traversal cost (0.5/node, 1.0/prim
-test) times a user factor is mapped through the Turbo colormap.
+``spp`` jittered primary rays per pixel (the reference forces spp=4,
+main.cpp:249-256, with R2 pixel offsets indexed x+y+s and thin-lens rands,
+heatmap.cpp:101-115); the per-pixel traversal cost (0.5/node, 1.0/prim
+test) is averaged, truncated to an integer (heatmap.cpp:118-119), divided
+by the user factor (default 20 when <= 0, heatmap.cpp:137-139) and mapped
+through the Turbo colormap.
 """
 from __future__ import annotations
 
@@ -9,6 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vimg_tpu.core import rng
 from vimg_tpu.render.camera import generate_rays
 from vimg_tpu.scene import ir
 
@@ -30,29 +35,47 @@ def turbo(x):
 
 
 def render_heatmap(scene: ir.Scene, settings: ir.RenderSettings, tracer,
-                   factor=1.0):
-    """Returns an sRGB-ready (H, W, 3) image of traversal cost."""
+                   factor=1.0, spp=4):
+    """Returns an sRGB-ready (H, W, 3) image of traversal cost.
+
+    ``spp`` jittered samples per pixel, averaged then floored, matching the
+    reference's forced spp=4 heatmap runs (main.cpp:249-256)."""
     W, H = settings.width, settings.height
+    if factor <= 0:
+        factor = 20.0          # reference heatmap.cpp:137-139
     pixels = jnp.arange(W * H, dtype=jnp.int32)
-    x = (pixels % W).astype(jnp.float32) + 0.5
-    y = (H - 1 - pixels // W).astype(jnp.float32) + 0.5
+    xi = pixels % W
+    yi = pixels // W           # yi counts from the TOP row (film order);
+    yr = (H - 1) - yi          # reference-convention bottom-up y
 
     @jax.jit
     def run(scene):
-        ro, rd, _, _ = generate_rays(scene.camera, x, y,
-                                     jnp.zeros_like(x), jnp.zeros_like(x))
-        minT = 1e-4 + rd[..., 0] * 0.0
-        maxT = jnp.inf + rd[..., 0] * 0.0
-        from vimg_tpu.geometry.bvh import BVHTracer, bvh_traverse
-        if hasattr(tracer, "bvh"):
-            _, cost = bvh_traverse(scene, tracer.bvh, ro, rd, minT, maxT,
-                                   count_cost=True)
-        else:
-            # brute force: every ray tests every primitive
-            n = scene.n_tris() + scene.n_spheres()
-            tracer.closest(scene, ro, rd, minT, maxT)
-            cost = jnp.full((W * H,), float(n))
-        return turbo(cost * factor / 255.0)
+        cost = jnp.zeros((W * H,), jnp.float32)
+        for s in range(spp):
+            # reference jitter: R2 offsets at index x + y + s
+            # (heatmap.cpp:104-106) + thin-lens rands per sample
+            ox, oy = rng.r2_sequence(xi + yr + s)
+            l1, l2 = rng.uniform2(pixels, s, 0, rng.Draw.CAMERA_LENS)
+            ro, rd, _, _ = generate_rays(scene.camera,
+                                         xi.astype(jnp.float32) + ox,
+                                         yr.astype(jnp.float32) + oy,
+                                         l1, l2)
+            minT = 1e-4 + rd[..., 0] * 0.0
+            maxT = jnp.inf + rd[..., 0] * 0.0
+            from vimg_tpu.geometry.bvh import bvh_traverse
+            if hasattr(tracer, "bvh"):
+                _, c = bvh_traverse(scene, tracer.bvh, ro, rd, minT, maxT,
+                                    count_cost=True)
+            else:
+                # brute force: every ray tests every primitive
+                n = scene.n_tris() + scene.n_spheres()
+                tracer.closest(scene, ro, rd, minT, maxT)
+                c = jnp.full((W * H,), float(n))
+            cost = cost + c
+        # average, then truncate like the reference's uint32 cast
+        # (heatmap.cpp:118-119)
+        avg = jnp.floor(cost / spp)
+        return turbo(avg / factor)
 
     img = np.asarray(run(scene)).reshape(H, W, 3)
     return np.clip(img, 0.0, 1.0)

@@ -309,9 +309,11 @@ def _pack_scene_mesh(scene: ir.Scene, sph_c):
         rows_per_cluster=cd.max_k * 16 // 128,
         has_vnormals=has_vnormals,
         mesh_stream=table_bytes > MESH_VMEM_BUDGET or _FORCE_STREAM,
+        tree_depth=cd.tree_depth,
     )
     tables = dict(node_aabbs=cd.node_aabbs, node_cid=cd.node_cid,
-                  node_skip=cd.node_skip, ctri=cd.tri_rows, sph_c=sph_c,
+                  node_skip=cd.node_skip, node_right=cd.node_right,
+                  node_order=cd.node_order, ctri=cd.tri_rows, sph_c=sph_c,
                   mat_base=mat_base, mat_scalars=mat_scalars,
                   light_rows=light_rows, cam_row=cam_row)
     if has_vnormals:
@@ -375,12 +377,23 @@ def _make_eval_pdf(settings):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
-                 rows, n_pixels, walk_batch=1):
+                 rows, n_pixels, walk_batch=1, regen_frac=1.0,
+                 walk_mode="skip"):
     """Returns the Pallas kernel function (closes over static metadata and
     the Scene only for its static feature flags). ``walk_batch`` unrolls
     that many dependent node steps per while-loop iteration of the mesh
     cluster-tree walk (the loop's fixed per-iteration overhead — branch +
-    scalar/vector sync, ~1 us measured — dominates interior visits)."""
+    scalar/vector sync, ~1 us measured — dominates interior visits).
+
+    ``regen_frac`` gates lane regeneration on block occupancy: idle lanes
+    restart only once the block's live fraction drops to <= regen_frac
+    (1.0 = regenerate eagerly, the round-2 behavior; 0.0 = full lockstep —
+    a block finishes its whole sample cohort before starting the next).
+    Lower values keep each cluster-tree walk within one path GENERATION:
+    mixed walks pay the union of a primary frustum AND bounce hemispheres,
+    which is what made mesh walks coverage-bound. Estimator-exact: the
+    per-(pixel, sample) RNG streams and per-lane accumulation order are
+    unchanged — only the schedule moves."""
     nt, ns = static["nt"], static["ns"]
     NL = static["n_lights"]
     W, H, spp = settings.width, settings.height, settings.spp
@@ -401,20 +414,25 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
     def kernel(*refs):
         cattr_ref = None
         ctri_buf = ctri_sem = cattr_buf = cattr_sem = None
+        stack_ref = None
+        if mesh:
+            # trailing SMEM traversal stack (stack walk only; harmless
+            # 512 B scratch otherwise)
+            refs, stack_ref = refs[:-1], refs[-1]
         if mesh and stream:
-            # trailing scratch: VMEM cluster buffer(s) + DMA semaphore(s)
+            # then the VMEM cluster buffer(s) + DMA semaphore(s)
             n_scratch = 4 if has_vn else 2
             refs, scratch = refs[:-n_scratch], refs[-n_scratch:]
             ctri_buf, ctri_sem = scratch[0], scratch[1]
             if has_vn:
                 cattr_buf, cattr_sem = scratch[2], scratch[3]
         if mesh and has_vn:
-            (aabb_ref, cid_ref, skip_ref, ctri_ref, cattr_ref, sph_ref,
-             matb_ref, mats_ref, light_ref, cam_ref, pix0_ref,
-             film_r, film_g, film_b, stats_ref) = refs
+            (aabb_ref, cid_ref, skip_ref, right_ref, order_ref, ctri_ref,
+             cattr_ref, sph_ref, matb_ref, mats_ref, light_ref, cam_ref,
+             pix0_ref, film_r, film_g, film_b, stats_ref) = refs
         elif mesh:
-            (aabb_ref, cid_ref, skip_ref, ctri_ref, sph_ref, matb_ref,
-             mats_ref, light_ref, cam_ref, pix0_ref,
+            (aabb_ref, cid_ref, skip_ref, right_ref, order_ref, ctri_ref,
+             sph_ref, matb_ref, mats_ref, light_ref, cam_ref, pix0_ref,
              film_r, film_g, film_b, stats_ref) = refs
         else:
             (tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
@@ -750,7 +768,10 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                             ctri_ref.at[pl.ds(c * rpc, rpc), :],
                             ctri_buf, ctri_sem)
                         dma.start()
-                        if has_vn:
+                        # shadow (any_hit) walks never read vertex-normal
+                        # attrs — skipping the cattr DMA halves per-leaf
+                        # DMA latency on streamed smooth-shaded meshes
+                        if has_vn and not any_hit:
                             dma2 = pltpu.make_async_copy(
                                 cattr_ref.at[pl.ds(c * rpc, rpc), :],
                                 cattr_buf, cattr_sem)
@@ -820,6 +841,273 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 bt, best_id = sphere_pass(ro, rd, minT, bt, best_id,
                                           lambda j: 1 + j)
             return bt, best_id, V3(nx, ny, nz), vn, mat, nv, nl
+
+        def trace_mesh_stack(ro, rd, minT, tmax, any_hit=False):
+            """Near-first ordered cluster-tree walk with an explicit
+            per-block SMEM stack — the reference's far-then-near push
+            (bvh.h:200-213) at tile granularity. The descend-first child
+            is picked by the block's majority direction octant via the
+            packed per-node order bits (cut_clusters); descending the
+            near side first shrinks best_t early, so far subtrees fail
+            their slab tests and are popped without tri work. Results
+            are identical to the skip-link walk (same hit set; order
+            only affects performance)."""
+            ox, oy, oz = ro.x, ro.y, ro.z
+            dx, dy, dz = rd.x, rd.y, rd.z
+            idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+            oix = ox * idx
+            oiy = oy * idy
+            oiz = oz * idz
+
+            # majority direction octant over live lanes (4 reductions,
+            # once per walk; oct bit set = negative direction)
+            livef = jnp.where(tmax > -jnp.inf, 1.0, 0.0)
+            half = jnp.sum(livef) * 0.5
+            sx = jnp.sum(jnp.where(dx < 0.0, livef, 0.0))
+            sy = jnp.sum(jnp.where(dy < 0.0, livef, 0.0))
+            sz = jnp.sum(jnp.where(dz < 0.0, livef, 0.0))
+            oct_ = ((sx > half).astype(jnp.int32)
+                    + 2 * (sy > half).astype(jnp.int32)
+                    + 4 * (sz > half).astype(jnp.int32))
+
+            def cond(carry):
+                return carry[0] >= 0
+
+            def step(carry):
+                if any_hit:
+                    n, sp, nv0, nl0, bt0 = carry
+                elif has_vn:
+                    (n, sp, nv0, nl0, bt0, code0, nx0, ny0, nz0, mat0,
+                     vx0, vy0, vz0) = carry
+                else:
+                    (n, sp, nv0, nl0, bt0, code0, nx0, ny0, nz0,
+                     mat0) = carry
+                valid = n >= 0
+                nr = jnp.maximum(n, 0)
+                cid = cid_ref[nr // 128, nr % 128]
+                c = jnp.maximum(cid, 0)
+
+                if stream:
+                    def tconst(k, j):
+                        flat = k * 16 + j
+                        return ctri_buf[flat // 128, flat % 128]
+
+                    def tattr(k, j):
+                        flat = k * 16 + j
+                        return cattr_buf[flat // 128, flat % 128]
+                else:
+                    def tconst(k, j):
+                        flat = k * 16 + j
+                        return ctri_ref[c * rpc + flat // 128, flat % 128]
+
+                    def tattr(k, j):
+                        flat = k * 16 + j
+                        return cattr_ref[c * rpc + flat // 128, flat % 128]
+
+                arow = nr // 16
+                acol = (nr % 16) * 8
+                bxl = aabb_ref[arow, acol + 0]
+                byl = aabb_ref[arow, acol + 1]
+                bzl = aabb_ref[arow, acol + 2]
+                bxh = aabb_ref[arow, acol + 3]
+                byh = aabb_ref[arow, acol + 4]
+                bzh = aabb_ref[arow, acol + 5]
+                t0x = bxl * idx - oix
+                t1x = bxh * idx - oix
+                t0y = byl * idy - oiy
+                t1y = byh * idy - oiy
+                t0z = bzl * idz - oiz
+                t1z = bzh * idz - oiz
+                tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                              jnp.minimum(t0y, t1y)),
+                                  jnp.maximum(jnp.minimum(t0z, t1z), minT))
+                tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.minimum(jnp.maximum(t0z, t1z), bt0))
+                live = tin <= tout
+                if any_hit:
+                    live = live & (bt0 > -jnp.inf)
+                any_live = jnp.any(live) & valid
+
+                def test16(sub0, carry, width=16):
+                    if any_hit:
+                        (bt,) = carry
+                    elif has_vn:
+                        bt, code, nx, ny, nz, mat, vx, vy, vz = carry
+                    else:
+                        bt, code, nx, ny, nz, mat = carry
+                    for k in range(sub0, min(sub0 + width, max_k)):
+                        tnx = tconst(k, 0)
+                        tny = tconst(k, 1)
+                        tnz = tconst(k, 2)
+                        d0 = tconst(k, 3)
+                        m1x = tconst(k, 4)
+                        m1y = tconst(k, 5)
+                        m1z = tconst(k, 6)
+                        c1 = tconst(k, 7)
+                        m2x = tconst(k, 8)
+                        m2y = tconst(k, 9)
+                        m2z = tconst(k, 10)
+                        c2 = tconst(k, 11)
+                        ro_n = ox * tnx + oy * tny + oz * tnz
+                        rd_n = dx * tnx + dy * tny + dz * tnz
+                        par = jnp.abs(rd_n) < 1e-22
+                        t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                        u = (ox * m1x + oy * m1y + oz * m1z - c1
+                             + t * (dx * m1x + dy * m1y + dz * m1z))
+                        v = (ox * m2x + oy * m2y + oz * m2z - c2
+                             + t * (dx * m2x + dy * m2y + dz * m2z))
+                        hh = (~par & (u >= 0.0) & (v >= 0.0)
+                              & (u + v <= 1.0) & (t >= minT) & (t < bt)
+                              & live)
+                        if any_hit:
+                            bt = jnp.where(hh, -jnp.inf, bt)
+                        else:
+                            code = jnp.where(hh, 0.0, code)
+                            nx = jnp.where(hh, tnx, nx)
+                            ny = jnp.where(hh, tny, ny)
+                            nz = jnp.where(hh, tnz, nz)
+                            mat = jnp.where(hh, tconst(k, 12), mat)
+                            bt = jnp.where(hh, t, bt)
+                            if has_vn:
+                                wz = 1.0 - u - v
+                                vx = jnp.where(
+                                    hh, tattr(k, 0) * wz + tattr(k, 3) * u
+                                    + tattr(k, 6) * v, vx)
+                                vy = jnp.where(
+                                    hh, tattr(k, 1) * wz + tattr(k, 4) * u
+                                    + tattr(k, 7) * v, vy)
+                                vz = jnp.where(
+                                    hh, tattr(k, 2) * wz + tattr(k, 5) * u
+                                    + tattr(k, 8) * v, vz)
+                    if any_hit:
+                        return (bt,)
+                    if has_vn:
+                        return bt, code, nx, ny, nz, mat, vx, vy, vz
+                    return bt, code, nx, ny, nz, mat
+
+                def sub_gate(row_lo, row_hi, bt):
+                    slx = tconst(row_lo, 13)
+                    sly = tconst(row_lo, 14)
+                    slz = tconst(row_lo, 15)
+                    shx = tconst(row_hi, 13)
+                    shy = tconst(row_hi, 14)
+                    shz = tconst(row_hi, 15)
+                    s0x = slx * idx - oix
+                    s1x = shx * idx - oix
+                    s0y = sly * idy - oiy
+                    s1y = shy * idy - oiy
+                    s0z = slz * idz - oiz
+                    s1z = shz * idz - oiz
+                    stin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(s0x, s1x),
+                                    jnp.minimum(s0y, s1y)),
+                        jnp.maximum(jnp.minimum(s0z, s1z), minT))
+                    stout = jnp.minimum(
+                        jnp.minimum(jnp.maximum(s0x, s1x),
+                                    jnp.maximum(s0y, s1y)),
+                        jnp.minimum(jnp.maximum(s0z, s1z), bt))
+                    return jnp.any(live & (stin <= stout))
+
+                def tri_tests(carry):
+                    if stream:
+                        dma = pltpu.make_async_copy(
+                            ctri_ref.at[pl.ds(c * rpc, rpc), :],
+                            ctri_buf, ctri_sem)
+                        dma.start()
+                        if has_vn and not any_hit:
+                            dma2 = pltpu.make_async_copy(
+                                cattr_ref.at[pl.ds(c * rpc, rpc), :],
+                                cattr_buf, cattr_sem)
+                            dma2.start()
+                            dma2.wait()
+                        dma.wait()
+                    if n_sub == 1:
+                        return test16(0, carry)
+                    for s in range(n_sub):
+                        s_any = sub_gate(2 * s, 2 * s + 1, carry[0])
+                        carry = jax.lax.cond(
+                            s_any, functools.partial(test16, s * 16),
+                            lambda cr: cr, carry)
+                    return carry
+
+                is_leaf = cid >= 0
+                nv = nv0 + jnp.where(valid, 1.0, 0.0)
+                nl = nl0 + jnp.where(any_live & is_leaf, 1.0, 0.0)
+                if any_hit:
+                    hit_carry = jax.lax.cond(any_live & is_leaf, tri_tests,
+                                             lambda cr: cr, (bt0,))
+                else:
+                    hit_carry = (bt0, code0, nx0, ny0, nz0, mat0)
+                    if has_vn:
+                        hit_carry = hit_carry + (vx0, vy0, vz0)
+                    hit_carry = jax.lax.cond(any_live & is_leaf, tri_tests,
+                                             lambda cr: cr, hit_carry)
+
+                # near-first advance: descend into the octant-ordered
+                # near child, pushing the far child; otherwise pop
+                rt = right_ref[nr // 128, nr % 128]
+                ob = (order_ref[nr // 128, nr % 128] >> oct_) & 1
+                left = nr + 1
+                near = jnp.where(ob == 1, rt, left)
+                far = jnp.where(ob == 1, left, rt)
+                descend = any_live & ~is_leaf
+
+                @pl.when(descend)
+                def _():
+                    stack_ref[sp] = far
+
+                popped = stack_ref[jnp.maximum(sp - 1, 0)]
+                n_next = jnp.where(
+                    valid,
+                    jnp.where(descend, near,
+                              jnp.where(sp > 0, popped, -1)),
+                    n)
+                sp_next = jnp.where(
+                    valid,
+                    jnp.where(descend, sp + 1, jnp.maximum(sp - 1, 0)),
+                    sp)
+                return (n_next, sp_next, nv, nl) + hit_carry
+
+            def body(carry):
+                for _ in range(walk_batch):
+                    carry = step(carry)
+                if any_hit:
+                    # all-occluded early exit, once per batch
+                    n_stop = jnp.where(jnp.any(carry[4] > -jnp.inf),
+                                       carry[0], -1)
+                    carry = (n_stop,) + carry[1:]
+                return carry
+
+            fz = jnp.float32(0.0)
+            if any_hit:
+                _, _, nv, nl, bt = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), jnp.int32(0), fz, fz, tmax))
+                occ = bt == -jnp.inf
+                if ns:
+                    bt_s, id_s = sphere_pass(ro, rd, minT, tmax,
+                                             jnp.full(shape, -1, jnp.int32),
+                                             lambda j: 1 + j)
+                    occ = occ | (id_s >= 0)
+                return occ, nv, nl
+            init = (jnp.int32(0), jnp.int32(0), fz, fz, tmax, f0 - 1.0,
+                    f0, f0, f0 + 1.0, f0)
+            if has_vn:
+                init = init + (f0, f0, f0 + 1.0)
+            out = jax.lax.while_loop(cond, body, init)
+            _, _, nv, nl, bt, code, nx, ny, nz, mat = out[:10]
+            vn = V3(*out[10:13]) if has_vn else None
+            best_id = jnp.where(code >= 0.0, 0, -1)
+            if ns:
+                bt, best_id = sphere_pass(ro, rd, minT, bt, best_id,
+                                          lambda j: 1 + j)
+            return bt, best_id, V3(nx, ny, nz), vn, mat, nv, nl
+
+        if mesh:
+            trace_mesh_fn = (trace_mesh_stack if walk_mode == "stack"
+                             else trace_mesh)
 
         def hit_frame(ro, rd, t, best_id, bu, bv):
             """Shading data for the winning prim: position, normals, ONB
@@ -1078,7 +1366,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
         def body(st):
             (m, d, active_i, fresh_i, prev_delta_i, non_spec_i,
              ro, rd, tp, res, acc, eta_scale, prev_pdf,
-             nseg, nshadow, nvisit, nleaf) = st
+             nseg, nshadow, nvisit, nleaf, nvisit_s, nleaf_s) = st
             # bool lane flags ride the while carry as i32 — Mosaic can't
             # legalize scf.yield of i1 vectors
             active = active_i != 0
@@ -1086,9 +1374,14 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             prev_delta = prev_delta_i != 0
             non_spec = non_spec_i != 0
 
-            # regenerate idle lanes (wavefront refill, static schedule)
+            # regenerate idle lanes (wavefront refill, static schedule);
+            # with regen_frac < 1 regeneration waits until the block has
+            # drained to that live fraction (walk-union coherence)
             busy = m < spp
             gen = busy & ~active
+            if regen_frac < 1.0:
+                n_act = jnp.sum(active_i, dtype=jnp.int32)
+                gen = gen & (n_act <= jnp.int32(int(regen_frac * P)))
             samp = m + samp_off   # global sample index: RNG streams and
                                   # the r2 jitter continue across slabs
             ro_new, rd_new = primary_ray(samp)
@@ -1102,7 +1395,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             prev_delta = prev_delta & ~gen
             non_spec = non_spec & ~gen
             fresh = fresh | gen
-            active = busy
+            # == busy when regen_frac == 1.0; otherwise ungated idle lanes
+            # stay parked (they contribute nothing to walks: tmax = -inf)
+            active = active | gen
             nseg = nseg + jnp.sum(active, dtype=jnp.float32)
 
             # ---- 1. trace + emissive/miss termination ------------------
@@ -1114,7 +1409,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 # cluster tracer's padding lanes)
                 tmax_act = jnp.where(active, infT, -jnp.inf)
                 (best_t, best_id, n_tri, vn_tri, mat_tri, nv_t,
-                 nl_t) = trace_mesh(ro, rd, minT, tmax_act)
+                 nl_t) = trace_mesh_fn(ro, rd, minT, tmax_act)
                 nvisit = nvisit + nv_t
                 nleaf = nleaf + nl_t
                 hit = best_id >= 0
@@ -1204,12 +1499,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                 shadow_max = jnp.where(jnp.isfinite(ls_dist),
                                        ls_dist - SHADOW_EPS, infT)
                 if mesh:
-                    occl, nv_s, nl_s = trace_mesh(
+                    occl, nv_s, nl_s = trace_mesh_fn(
                         p, ls_wi, minT,
                         jnp.where(do_nee, shadow_max, -jnp.inf),
                         any_hit=True)
-                    nvisit = nvisit + nv_s
-                    nleaf = nleaf + nl_s
+                    nvisit_s = nvisit_s + nv_s
+                    nleaf_s = nleaf_s + nl_s
                 else:
                     occl = trace(p, ls_wi, minT, shadow_max, any_hit=True)
                 nshadow = nshadow + jnp.sum(do_nee, dtype=jnp.float32)
@@ -1284,7 +1579,7 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                     fresh.astype(jnp.int32), prev_delta.astype(jnp.int32),
                     non_spec.astype(jnp.int32),
                     ro, rd, tp, res, acc, eta_scale, prev_pdf,
-                    nseg, nshadow, nvisit, nleaf)
+                    nseg, nshadow, nvisit, nleaf, nvisit_s, nleaf_s)
 
         def cond(st):
             return jnp.any(st[0] < spp)
@@ -1292,10 +1587,12 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
         m0 = jnp.where(in_frame, 0, spp)
         st = (m0, i0, i0, i0, i0, i0, z3, z3, z3, z3, z3,
               f0 + 1.0, f0, jnp.float32(0.0), jnp.float32(0.0),
-              jnp.float32(0.0), jnp.float32(0.0))
+              jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+              jnp.float32(0.0))
         st = jax.lax.while_loop(cond, body, st)
         acc = st[10]
         nseg, nshadow, nvisit, nleaf = st[13], st[14], st[15], st[16]
+        nvisit_s, nleaf_s = st[17], st[18]
 
         film_r[:] = acc.x
         film_g[:] = acc.y
@@ -1304,7 +1601,9 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
         stats_ref[:] = (jnp.where(col == 0, nseg, 0.0)
                         + jnp.where(col == 1, nshadow, 0.0)
                         + jnp.where(col == 2, nvisit, 0.0)
-                        + jnp.where(col == 3, nleaf, 0.0))
+                        + jnp.where(col == 3, nleaf, 0.0)
+                        + jnp.where(col == 4, nvisit_s, 0.0)
+                        + jnp.where(col == 5, nleaf_s, 0.0))
 
     return kernel
 
@@ -1315,13 +1614,14 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
 
 @functools.lru_cache(maxsize=16)
 def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
-                    rows, n_blocks, n_pixels, interpret, walk_batch=1):
+                    rows, n_blocks, n_pixels, interpret, walk_batch=1,
+                    regen_frac=1.0, walk_mode="skip"):
     """Compiled pallas_call wrapper; cached on static configuration.
     scene_key/static_key are hashable digests built by render_megakernel —
     the actual scene tables are passed as runtime args."""
     scene, static = _MEGA_CACHE[scene_key]
     kernel = _make_kernel(scene, settings, static, rows, n_pixels,
-                          walk_batch)
+                          walk_batch, regen_frac, walk_mode)
 
     scratch_shapes = []
     if static.get("mesh"):
@@ -1338,7 +1638,11 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
                                    pltpu.SemaphoreType.DMA(())]
         else:
             tab_space = pltpu.VMEM
-        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+        # SMEM traversal stack for the near-first ordered walk (sized to
+        # the cluster tree's max depth + slack; tiny either way)
+        scratch_shapes += [pltpu.SMEM(
+            (max(static.get("tree_depth", 64) + 8, 32),), jnp.int32)]
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
                     + [pl.BlockSpec(memory_space=tab_space)] * n_tab
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6)
     else:
@@ -1402,7 +1706,8 @@ def _runtime_args(tables, static):
     if static.get("mesh"):
         attr = (tables["cattr"],) if static.get("has_vnormals") else ()
         return (tables["node_aabbs"], tables["node_cid"],
-                tables["node_skip"], tables["ctri"]) + attr + (
+                tables["node_skip"], tables["node_right"],
+                tables["node_order"], tables["ctri"]) + attr + (
                 tables["sph_c"],
                 tables["mat_base"], tables["mat_scalars"],
                 tables["light_rows"], tables["cam_row"].reshape(1, -1))
@@ -1424,6 +1729,7 @@ def _static_key(scene, static):
             bool(static.get("mesh", False)), static.get("n_nodes", 0),
             static.get("max_k", 0), bool(static.get("has_vnormals", False)),
             bool(static.get("mesh_stream", False)),
+            static.get("tree_depth", 0),
             scene.has_lambertian, scene.has_dielectric,
             scene.has_principled, scene.has_sheen, scene.has_clearcoat,
             scene.has_aniso, scene.has_spec_trans,
@@ -1461,6 +1767,15 @@ def _assemble_film(films, is_mesh, W, H, P, n_blocks, spp):
     return img / spp
 
 
+DEFAULT_REGEN_FRAC = 1.0     # mesh regen occupancy gate (see _make_kernel):
+                             # swept on-chip in round 3 (tools/probe_regen,
+                             # bench_records/r3_probe_regen.json) — eager
+                             # regen wins; lower fracs spread the same rays
+                             # over more (cheaper) walks and lose net
+
+DEFAULT_WALK_MODE = "skip"   # mesh traversal: "skip" or "stack" (near-
+                             # first ordered; see trace_mesh_stack)
+
 DEFAULT_WALK_BATCH = 2       # mesh walk: node steps per while iteration.
                              # Measured on v5e (100k-tri scene, rows=32):
                              # wb=1 7.30s, wb=2 7.09s, wb=4 9.75s, wb=8
@@ -1471,11 +1786,14 @@ DEFAULT_WALK_BATCH = 2       # mesh walk: node steps per while iteration.
 
 def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
                       rows=DEFAULT_ROWS, return_stats=False, progress=False,
-                      walk_batch=None, sample_offset=0):
+                      walk_batch=None, sample_offset=0, regen_frac=None,
+                      walk=None):
     """Full-frame MIS render with the persistent Pallas megakernel.
 
     ``sample_offset`` shifts every per-pixel sample id (and so every RNG
-    stream) — checkpoint slabs use it to continue a render exactly."""
+    stream) — checkpoint slabs use it to continue a render exactly.
+    ``walk`` picks the mesh traversal: "skip" (preorder skip links) or
+    "stack" (near-first ordered, SMEM stack)."""
     import time
 
     tables, static = _pack_scene_cached(scene)
@@ -1502,11 +1820,16 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
 
     if walk_batch is None:
         walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
+    if regen_frac is None:
+        regen_frac = DEFAULT_REGEN_FRAC if is_mesh else 1.0
+    if walk is None:
+        walk = DEFAULT_WALK_MODE if is_mesh else "skip"
     static_key = _static_key(scene, static)
-    scene_key = (static_key, settings, rows, n_blocks, walk_batch)
+    scene_key = (static_key, settings, rows, n_blocks, walk_batch,
+                 regen_frac, walk)
     _mega_cache_put(scene_key, scene, static)
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
-                         n_pixels, interpret, walk_batch)
+                         n_pixels, interpret, walk_batch, regen_frac, walk)
 
     args = _runtime_args(tables, static) + (
         np.array([[0, sample_offset]], np.int32),)
@@ -1524,6 +1847,8 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     shadow = float(st[:, 0, 1].sum())
     nvisit = float(st[:, 0, 2].sum())
     nleaf = float(st[:, 0, 3].sum())
+    nvisit_s = float(st[:, 0, 4].sum())
+    nleaf_s = float(st[:, 0, 5].sum())
     if progress:
         total = n_pixels * spp
         print(f"Megakernel: {total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s, "
@@ -1531,18 +1856,24 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
               f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
     if return_stats:
         return img, dict(segments=segs, shadow_rays=shadow, seconds=dt,
-                         node_visits=nvisit, leaf_visits=nleaf)
+                         node_visits=nvisit, leaf_visits=nleaf,
+                         node_visits_shadow=nvisit_s,
+                         leaf_visits_shadow=nleaf_s)
     return img
 
 
 def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
                               mesh=None, rows=DEFAULT_ROWS,
-                              return_stats=False, walk_batch=None):
+                              return_stats=False, walk_batch=None,
+                              sample_offset=0):
     """Multi-device megakernel render: pixel blocks are embarrassingly
     parallel (each block writes a disjoint film window), so the block axis
     is sharded over the mesh with shard_map — no collectives at all, the
     per-device films concatenate into the frame. This is the megakernel's
-    analogue of parallel/sharding.py's ray-DP for the wavefront."""
+    analogue of parallel/sharding.py's ray-DP for the wavefront.
+
+    ``sample_offset`` shifts every per-pixel sample id exactly like
+    render_megakernel's — checkpoint slabs can use either path."""
     import time
     from jax.sharding import Mesh, PartitionSpec
     shard_map = jax.shard_map
@@ -1562,20 +1893,23 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
 
     if walk_batch is None:
         walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
+    regen_frac = DEFAULT_REGEN_FRAC if is_mesh else 1.0
+    walk_mode = DEFAULT_WALK_MODE if is_mesh else "skip"
     static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, blocks_per_dev, "sharded",
-                 walk_batch)
+                 walk_batch, regen_frac, walk_mode)
     _mega_cache_put(scene_key, scene, static)
     interpret = jax.default_backend() == "cpu"
     fn = _build_renderer(scene_key, settings, static_key, rows,
-                         blocks_per_dev, n_pixels, interpret, walk_batch)
+                         blocks_per_dev, n_pixels, interpret, walk_batch,
+                         regen_frac, walk_mode)
 
     args = _runtime_args(tables, static)
 
     def shard_fn(*tb):
         i = jax.lax.axis_index(axis)
         pix0 = jnp.stack([(i * (blocks_per_dev * P)).astype(jnp.int32),
-                          jnp.int32(0)]).reshape(1, 2)
+                          jnp.int32(sample_offset)]).reshape(1, 2)
         return fn(*tb, pix0)
 
     rep = PartitionSpec()

@@ -170,7 +170,13 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
                 prim_id=jnp.zeros((B,), jnp.int32),
                 u=0.3 + z1, v=0.3 + z1)
         else:
-            hr = tracer.closest(scene, s["ro"], s["rd"], minT, infT)
+            # dead lanes (exhausted work queue / tail) get maxT = -inf:
+            # they keep no tree node live in the tile-union cluster walk
+            # instead of re-tracing their stale rays at full cost (round-2
+            # meshdiag: 39% occupancy => ~60% of traced lane-slots were
+            # dead, and each polluted its tile's cluster union)
+            hr = tracer.closest(scene, s["ro"], s["rd"], minT,
+                                jnp.where(alive, infT, -jnp.inf))
         if "hitinfo" in ab:
             n = -s["rd"]
             hi = intersect.HitInfo(
@@ -251,8 +257,10 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
                                       pdf=_dt(ls.pdf), dist=_dt(ls.dist),
                                       G=ls.G)
             do_nee = cont & ~mat_delta & (ls.pdf != 0.0)
+            # lanes not shooting a shadow ray walk with -inf (see above)
             shadow_max = jnp.where(jnp.isfinite(ls.dist),
                                    ls.dist - SHADOW_EPS, infT)
+            shadow_max = jnp.where(do_nee, shadow_max, -jnp.inf)
             if "shadow" in ab:
                 occl = (ls.wi[:, 0] > 2.0)   # never true, depends on inputs
             else:
