@@ -69,12 +69,56 @@ def main():
         "unit": "paths/s",
         "vs_baseline": round(paths_per_s / BASELINE_PATHS_PER_S, 3),
     }
+    # mesh stage: 100k-tri open-terrain MIS render — the matpreview-class
+    # workload proxy (the reference's mesh showcases ship without assets;
+    # BASELINE.md: matpreview = 2.7 M paths/s on the Ryzen 7 7700). Rides
+    # as extra keys on the same single JSON line.
+    try:
+        mesh = bench_mesh()
+        result.update(mesh)
+    except Exception as e:  # pragma: no cover - keep the headline alive
+        result["mesh_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     print(f"# rays/s/chip: {rays_per_s / 1e6:.2f}M "
           f"({stats['segments'] / 1e6:.1f}M segments + "
           f"{stats['shadow_rays'] / 1e6:.1f}M shadow); "
           f"full 512spp frame: {dt:.2f}s "
           f"(reference: 57s on Ryzen 7 7700)", file=sys.stderr)
+
+
+MESH_BASELINE_PATHS_PER_S = 2.7e6   # matpreview class (BASELINE.md)
+
+
+def bench_mesh(n_tris=100_000, spp=64):
+    """Mesh-traversal throughput on the synthetic 100k-tri terrain scene
+    (megakernel in-kernel cluster walk). Returns extra JSON fields."""
+    import dataclasses
+
+    from vimg_tpu.render.mega import render_megakernel, supports_megakernel
+    from vimg_tpu.scene import ir
+    from vimg_tpu.scene.synthetic import terrain_scene
+
+    scene = terrain_scene(n_tris, width=512, height=256)
+    st = ir.RenderSettings(width=512, height=256, spp=spp, max_depth=64,
+                           integrator="mis", batch_size=1 << 18)
+    assert supports_megakernel(scene, st)
+    total = st.width * st.height * st.spp
+    _, s = render_megakernel(scene, st, return_stats=True)
+    dt = s["seconds"]
+    for _ in range(1):
+        _, s2 = render_megakernel(scene, st, return_stats=True)
+        if s2["seconds"] < dt:
+            dt, s = s2["seconds"], s2
+    mpaths = total / dt
+    mrays = (s["segments"] + s["shadow_rays"]) / dt
+    return {
+        "mesh_metric": (f"camera paths/s, mesh megakernel mis, terrain "
+                        f"{n_tris // 1000}k tris 512x256@{spp}spp"),
+        "mesh_paths_per_s": round(mpaths, 1),
+        "mesh_rays_per_s": round(mrays, 1),
+        "mesh_vs_matpreview_baseline": round(
+            mpaths / MESH_BASELINE_PATHS_PER_S, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -81,3 +81,39 @@ class TestDeviceBuild:
         assert (np.asarray(hc.hit) == np.asarray(hb.hit)).mean() > 0.999
         both = np.asarray(hc.hit) & np.asarray(hb.hit)
         assert np.abs(np.asarray(hc.t) - np.asarray(hb.t))[both].max() < 1e-4
+
+
+class TestClusterRouting:
+    def test_cluster_cut_device_equals_native_sweep(self):
+        """builder="device" routes the on-device sweep into the cluster
+        pipeline: the resulting cluster tables must be bit-equal to those
+        cut from the native sweep builder (mode=1) — same tree, same
+        preorder, same packing (round-3: dynamic-scene rebuilds can skip
+        the host SAH recursion)."""
+        import numpy as np
+        from vimg_tpu.geometry.cluster_trace import ClusterData
+        from vimg_tpu.runtime.native import build_bvh_native
+        from vimg_tpu.scene.synthetic import bumpy_sphere_scene
+
+        scene = bumpy_sphere_scene(5000, width=32, height=16)
+        dev = ClusterData(scene, max_k=64, builder="device")
+
+        # native sweep oracle -> same cut by monkeypatching the builder
+        verts = np.asarray(scene.verts)
+        tv = np.asarray(scene.tri_vidx)
+        p = verts[tv]
+        built = build_bvh_native(p.min(1), p.max(1), p.mean(1), mode=1)
+
+        from vimg_tpu.geometry import cluster_trace as ct
+        ranges, tree = ct.cut_clusters(built, built["node_start"], 64)
+        # compare the tree restriction: same cluster ranges and skip links
+        order = built["order"]
+        dev_ranges_ids = dev.perm.reshape(dev.n_clusters, dev.max_k)
+        assert len(ranges) == dev.n_clusters
+        for c, (s, e) in enumerate(ranges):
+            ids = order[s:e]
+            got = dev_ranges_ids[c, :e - s]
+            assert np.array_equal(np.sort(ids), np.sort(got))
+        M = tree["cid"].shape[0]
+        assert dev.n_nodes == M
+        assert np.array_equal(dev.node_skip.reshape(-1)[:M], tree["skip"])

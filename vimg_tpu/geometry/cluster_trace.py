@@ -70,11 +70,16 @@ def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
     Returns (ranges, tree) where tree = dict(lo (M,3), hi (M,3),
     cid (M,) int32 cluster id or -1, skip (M,) int32)."""
     node_count = built["node_count"]
-    node_right = built["node_right"]
     node_min = built["node_min"]
     node_max = built["node_max"]
     node_skip = built["node_skip"]
     N = node_count.shape[0]
+    node_right = built.get("node_right")
+    if node_right is None:
+        # preorder invariant: left child = i+1, skip(left) = right sibling
+        node_right = np.full(N, -1, np.int32)
+        inner_n = np.nonzero(node_count == 0)[0]
+        node_right[inner_n] = node_skip[np.minimum(inner_n + 1, N - 1)]
     # subtree prim ranges, vectorized: in the preorder layout node n's
     # subtree is the contiguous block [n, skip[n]), and SAH splits keep
     # prim ranges contiguous — so lo[n] is the start of the first leaf at
@@ -166,7 +171,8 @@ class ClusterData:
     normalized geometric normal when a tri has no vertex normals, exactly
     like geometry/intersect.py:253-255)."""
 
-    def __init__(self, scene: ir.Scene, max_k=CLUSTER_K, with_attrs=False):
+    def __init__(self, scene: ir.Scene, max_k=CLUSTER_K, with_attrs=False,
+                 builder="auto"):
         verts = np.asarray(scene.verts)
         tvidx = np.asarray(scene.tri_vidx)
         T = tvidx.shape[0]
@@ -174,13 +180,22 @@ class ClusterData:
         bmin = p.min(axis=1)
         bmax = p.max(axis=1)
         centers = p.mean(axis=1)
-        # native C++ binned-SAH when available (the numpy build costs ~37 s
-        # at 100k tris); both produce the same preorder layout
-        try:
-            from vimg_tpu.runtime.native import build_bvh_native
-            built = build_bvh_native(bmin, bmax, centers, mode=0)
-        except Exception:
+        # builder: "auto" = native C++ binned-SAH (threaded) with a numpy
+        # fallback; "device" = the on-device level-synchronous sweep
+        # (geometry/device_build.py) — dynamic-scene rebuild pipelines can
+        # produce the cluster cut without the host SAH recursion; "numpy"
+        # = the oracle. All emit the same preorder/skip layout.
+        if builder == "device":
+            from vimg_tpu.geometry.device_build import build_sweep_sah_device
+            built = build_sweep_sah_device(bmin, bmax, centers)
+        elif builder == "numpy":
             built = build_bvh_numpy(bmin, bmax, centers)
+        else:
+            try:
+                from vimg_tpu.runtime.native import build_bvh_native
+                built = build_bvh_native(bmin, bmax, centers, mode=0)
+            except Exception:
+                built = build_bvh_numpy(bmin, bmax, centers)
         if "node_right" not in built:
             # preorder invariant: left child = i+1, skip(left) = right
             count = built["node_count"]
@@ -638,10 +653,10 @@ class ClusterTracer:
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=TILE_ROWS, sort_rays=True, sort_mode="origin",
-                 mode="auto"):
+                 mode="auto", builder="auto"):
         if tile_rows % 8 or tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
-        self.data = ClusterData(scene, max_k)
+        self.data = ClusterData(scene, max_k, builder=builder)
         if mode == "auto":
             fits = self.data.tri_rows.nbytes <= self.RESIDENT_BUDGET_BYTES
             mode = "resident_direct" if fits else "stream"

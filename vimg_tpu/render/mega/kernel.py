@@ -426,13 +426,28 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
             ctri_buf, ctri_sem = scratch[0], scratch[1]
             if has_vn:
                 cattr_buf, cattr_sem = scratch[2], scratch[3]
-        if mesh and has_vn:
-            (aabb_ref, cid_ref, skip_ref, right_ref, order_ref, ctri_ref,
-             cattr_ref, sph_ref, matb_ref, mats_ref, light_ref, cam_ref,
-             pix0_ref, film_r, film_g, film_b, stats_ref) = refs
+        right_ref = order_ref = None
+        if mesh and walk_mode == "stack":
+            # right/order tables ride only for the stack walk: at large
+            # node counts they would blow the ~1 MB SMEM budget (500k
+            # tris: aabbs 708K + 2 tables 177K already fills it)
+            if has_vn:
+                (aabb_ref, cid_ref, skip_ref, right_ref, order_ref,
+                 ctri_ref, cattr_ref, sph_ref, matb_ref, mats_ref,
+                 light_ref, cam_ref, pix0_ref, film_r, film_g, film_b,
+                 stats_ref) = refs
+            else:
+                (aabb_ref, cid_ref, skip_ref, right_ref, order_ref,
+                 ctri_ref, sph_ref, matb_ref, mats_ref, light_ref,
+                 cam_ref, pix0_ref, film_r, film_g, film_b,
+                 stats_ref) = refs
+        elif mesh and has_vn:
+            (aabb_ref, cid_ref, skip_ref, ctri_ref, cattr_ref, sph_ref,
+             matb_ref, mats_ref, light_ref, cam_ref, pix0_ref,
+             film_r, film_g, film_b, stats_ref) = refs
         elif mesh:
-            (aabb_ref, cid_ref, skip_ref, right_ref, order_ref, ctri_ref,
-             sph_ref, matb_ref, mats_ref, light_ref, cam_ref, pix0_ref,
+            (aabb_ref, cid_ref, skip_ref, ctri_ref, sph_ref, matb_ref,
+             mats_ref, light_ref, cam_ref, pix0_ref,
              film_r, film_g, film_b, stats_ref) = refs
         else:
             (tri_ref, triv_ref, sph_ref, matb_ref, mats_ref, light_ref,
@@ -1105,9 +1120,243 @@ def _make_kernel(scene: ir.Scene, settings: ir.RenderSettings, static,
                                           lambda j: 1 + j)
             return bt, best_id, V3(nx, ny, nz), vn, mat, nv, nl
 
+        def trace_mesh_defer(ro, rd, minT, tmax, any_hit=False):
+            """Skip-link walk with DEFERRED liveness: iteration i issues
+            the slab-test chain for node n_{i+1} and consumes its
+            vector->scalar reduction only at iteration i+1, so the scalar
+            unit never stalls on a just-issued vector chain (probe:
+            the any() itself costs ~1ns when its operand chain has had an
+            iteration to drain — r3_probe_b/c). Sub-gate reductions at
+            leaves are likewise all issued before the first cond.
+            Successor slabs use the pre-leaf best_t (conservative: best_t
+            only shrinks; the exact t < best_t test still clamps)."""
+            ox, oy, oz = ro.x, ro.y, ro.z
+            dx, dy, dz = rd.x, rd.y, rd.z
+            idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
+            idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
+            idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+            oix = ox * idx
+            oiy = oy * idy
+            oiz = oz * idz
+
+            def slab6(xl, yl, zl, xh, yh, zh, btv):
+                t0x = xl * idx - oix
+                t1x = xh * idx - oix
+                t0y = yl * idy - oiy
+                t1y = yh * idy - oiy
+                t0z = zl * idz - oiz
+                t1z = zh * idz - oiz
+                tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                              jnp.minimum(t0y, t1y)),
+                                  jnp.maximum(jnp.minimum(t0z, t1z), minT))
+                tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.minimum(jnp.maximum(t0z, t1z), btv))
+                return tin <= tout
+
+            def node_live(nr, btv):
+                arow = nr // 16
+                acol = (nr % 16) * 8
+                live = slab6(aabb_ref[arow, acol + 0],
+                             aabb_ref[arow, acol + 1],
+                             aabb_ref[arow, acol + 2],
+                             aabb_ref[arow, acol + 3],
+                             aabb_ref[arow, acol + 4],
+                             aabb_ref[arow, acol + 5], btv)
+                if any_hit:
+                    live = live & (btv > -jnp.inf)
+                return live
+
+            def cond(carry):
+                return carry[0] < n_nodes
+
+            def step(carry):
+                if any_hit:
+                    n, live_f, nv0, nl0, bt0 = carry
+                elif has_vn:
+                    (n, live_f, nv0, nl0, bt0, code0, nx0, ny0, nz0, mat0,
+                     vx0, vy0, vz0) = carry
+                else:
+                    (n, live_f, nv0, nl0, bt0, code0, nx0, ny0, nz0,
+                     mat0) = carry
+                valid = n < n_nodes
+                nr = jnp.minimum(n, n_nodes - 1)
+                live = live_f > 0.0
+                any_n = jnp.any(live) & valid
+                cid = cid_ref[nr // 128, nr % 128]
+                c = jnp.maximum(cid, 0)
+                is_leaf = cid >= 0
+
+                if stream:
+                    def tconst(k, j):
+                        flat = k * 16 + j
+                        return ctri_buf[flat // 128, flat % 128]
+
+                    def tattr(k, j):
+                        flat = k * 16 + j
+                        return cattr_buf[flat // 128, flat % 128]
+                else:
+                    def tconst(k, j):
+                        flat = k * 16 + j
+                        return ctri_ref[c * rpc + flat // 128, flat % 128]
+
+                    def tattr(k, j):
+                        flat = k * 16 + j
+                        return cattr_ref[c * rpc + flat // 128, flat % 128]
+
+                def test16(sub0, carry, width=16):
+                    if any_hit:
+                        (bt,) = carry
+                    elif has_vn:
+                        bt, code, nx, ny, nz, mat, vx, vy, vz = carry
+                    else:
+                        bt, code, nx, ny, nz, mat = carry
+                    for k in range(sub0, min(sub0 + width, max_k)):
+                        tnx = tconst(k, 0)
+                        tny = tconst(k, 1)
+                        tnz = tconst(k, 2)
+                        d0 = tconst(k, 3)
+                        m1x = tconst(k, 4)
+                        m1y = tconst(k, 5)
+                        m1z = tconst(k, 6)
+                        c1 = tconst(k, 7)
+                        m2x = tconst(k, 8)
+                        m2y = tconst(k, 9)
+                        m2z = tconst(k, 10)
+                        c2 = tconst(k, 11)
+                        ro_n = ox * tnx + oy * tny + oz * tnz
+                        rd_n = dx * tnx + dy * tny + dz * tnz
+                        par = jnp.abs(rd_n) < 1e-22
+                        t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                        u = (ox * m1x + oy * m1y + oz * m1z - c1
+                             + t * (dx * m1x + dy * m1y + dz * m1z))
+                        v = (ox * m2x + oy * m2y + oz * m2z - c2
+                             + t * (dx * m2x + dy * m2y + dz * m2z))
+                        hh = (~par & (u >= 0.0) & (v >= 0.0)
+                              & (u + v <= 1.0) & (t >= minT) & (t < bt)
+                              & live)
+                        if any_hit:
+                            bt = jnp.where(hh, -jnp.inf, bt)
+                        else:
+                            code = jnp.where(hh, 0.0, code)
+                            nx = jnp.where(hh, tnx, nx)
+                            ny = jnp.where(hh, tny, ny)
+                            nz = jnp.where(hh, tnz, nz)
+                            mat = jnp.where(hh, tconst(k, 12), mat)
+                            bt = jnp.where(hh, t, bt)
+                            if has_vn:
+                                wz = 1.0 - u - v
+                                vx = jnp.where(
+                                    hh, tattr(k, 0) * wz + tattr(k, 3) * u
+                                    + tattr(k, 6) * v, vx)
+                                vy = jnp.where(
+                                    hh, tattr(k, 1) * wz + tattr(k, 4) * u
+                                    + tattr(k, 7) * v, vy)
+                                vz = jnp.where(
+                                    hh, tattr(k, 2) * wz + tattr(k, 5) * u
+                                    + tattr(k, 8) * v, vz)
+                    if any_hit:
+                        return (bt,)
+                    if has_vn:
+                        return bt, code, nx, ny, nz, mat, vx, vy, vz
+                    return bt, code, nx, ny, nz, mat
+
+                def tri_tests(carry):
+                    if stream:
+                        dma = pltpu.make_async_copy(
+                            ctri_ref.at[pl.ds(c * rpc, rpc), :],
+                            ctri_buf, ctri_sem)
+                        dma.start()
+                        if has_vn and not any_hit:
+                            dma2 = pltpu.make_async_copy(
+                                cattr_ref.at[pl.ds(c * rpc, rpc), :],
+                                cattr_buf, cattr_sem)
+                            dma2.start()
+                            dma2.wait()
+                        dma.wait()
+                    if n_sub == 1:
+                        return test16(0, carry)
+                    # all sub-box chains + reductions issued before the
+                    # first cond: the 4 reduces pipeline instead of each
+                    # paying a fresh chain drain (entry bt for all —
+                    # conservative)
+                    bt_in = carry[0]
+                    s_anys = []
+                    for s in range(n_sub):
+                        lo_r, hi_r = 2 * s, 2 * s + 1
+                        sl = slab6(tconst(lo_r, 13), tconst(lo_r, 14),
+                                   tconst(lo_r, 15), tconst(hi_r, 13),
+                                   tconst(hi_r, 14), tconst(hi_r, 15),
+                                   bt_in)
+                        s_anys.append(jnp.any(live & sl))
+                    for s in range(n_sub):
+                        carry = jax.lax.cond(
+                            s_anys[s], functools.partial(test16, s * 16),
+                            lambda cr: cr, carry)
+                    return carry
+
+                nv = nv0 + jnp.where(valid, 1.0, 0.0)
+                nl = nl0 + jnp.where(any_n & is_leaf, 1.0, 0.0)
+                if any_hit:
+                    hit_carry = jax.lax.cond(any_n & is_leaf, tri_tests,
+                                             lambda cr: cr, (bt0,))
+                else:
+                    hit_carry = (bt0, code0, nx0, ny0, nz0, mat0)
+                    if has_vn:
+                        hit_carry = hit_carry + (vx0, vy0, vz0)
+                    hit_carry = jax.lax.cond(any_n & is_leaf, tri_tests,
+                                             lambda cr: cr, hit_carry)
+
+                # successor: leaf's skip == n+1, so one select covers all
+                skipv = skip_ref[nr // 128, nr % 128]
+                n_next = jnp.where(
+                    valid,
+                    jnp.where(any_n & ~is_leaf, nr + 1, skipv), n)
+                # issue the successor's slab chain NOW (vs pre-leaf bt0,
+                # conservative); its reduce lands next iteration
+                nn = jnp.minimum(n_next, n_nodes - 1)
+                live_next = node_live(nn, bt0)
+                live_next_f = jnp.where(live_next, 1.0, 0.0)
+                return (n_next, live_next_f, nv, nl) + hit_carry
+
+            def body(carry):
+                for _ in range(walk_batch):
+                    carry = step(carry)
+                if any_hit:
+                    n_stop = jnp.where(jnp.any(carry[4] > -jnp.inf),
+                                       carry[0], n_nodes)
+                    carry = (n_stop,) + carry[1:]
+                return carry
+
+            fz = jnp.float32(0.0)
+            live0 = jnp.where(node_live(jnp.int32(0), tmax), 1.0, 0.0)
+            if any_hit:
+                _, _, nv, nl, bt = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), live0, fz, fz, tmax))
+                occ = bt == -jnp.inf
+                if ns:
+                    bt_s, id_s = sphere_pass(ro, rd, minT, tmax,
+                                             jnp.full(shape, -1, jnp.int32),
+                                             lambda j: 1 + j)
+                    occ = occ | (id_s >= 0)
+                return occ, nv, nl
+            init = (jnp.int32(0), live0, fz, fz, tmax, f0 - 1.0,
+                    f0, f0, f0 + 1.0, f0)
+            if has_vn:
+                init = init + (f0, f0, f0 + 1.0)
+            out = jax.lax.while_loop(cond, body, init)
+            _, _, nv, nl, bt, code, nx, ny, nz, mat = out[:10]
+            vn = V3(*out[10:13]) if has_vn else None
+            best_id = jnp.where(code >= 0.0, 0, -1)
+            if ns:
+                bt, best_id = sphere_pass(ro, rd, minT, bt, best_id,
+                                          lambda j: 1 + j)
+            return bt, best_id, V3(nx, ny, nz), vn, mat, nv, nl
+
         if mesh:
-            trace_mesh_fn = (trace_mesh_stack if walk_mode == "stack"
-                             else trace_mesh)
+            trace_mesh_fn = {"stack": trace_mesh_stack,
+                             "defer": trace_mesh_defer}.get(walk_mode,
+                                                            trace_mesh)
 
         def hit_frame(ro, rd, t, best_id, bu, bv):
             """Shading data for the winning prim: position, normals, ONB
@@ -1642,7 +1891,8 @@ def _build_renderer(scene_key, settings: ir.RenderSettings, static_key,
         # the cluster tree's max depth + slack; tiny either way)
         scratch_shapes += [pltpu.SMEM(
             (max(static.get("tree_depth", 64) + 8, 32),), jnp.int32)]
-        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        n_node_tabs = 5 if walk_mode == "stack" else 3
+        in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * n_node_tabs
                     + [pl.BlockSpec(memory_space=tab_space)] * n_tab
                     + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 6)
     else:
@@ -1701,13 +1951,14 @@ def _pack_scene_cached(scene):
     return tables, static
 
 
-def _runtime_args(tables, static):
+def _runtime_args(tables, static, walk_mode="skip"):
     """Ordered runtime operands matching the kernel signature."""
     if static.get("mesh"):
+        order = ((tables["node_right"], tables["node_order"])
+                 if walk_mode == "stack" else ())
         attr = (tables["cattr"],) if static.get("has_vnormals") else ()
         return (tables["node_aabbs"], tables["node_cid"],
-                tables["node_skip"], tables["node_right"],
-                tables["node_order"], tables["ctri"]) + attr + (
+                tables["node_skip"]) + order + (tables["ctri"],) + attr + (
                 tables["sph_c"],
                 tables["mat_base"], tables["mat_scalars"],
                 tables["light_rows"], tables["cam_row"].reshape(1, -1))
@@ -1773,19 +2024,21 @@ DEFAULT_REGEN_FRAC = 1.0     # mesh regen occupancy gate (see _make_kernel):
                              # regen wins; lower fracs spread the same rays
                              # over more (cheaper) walks and lose net
 
-DEFAULT_WALK_MODE = "skip"   # mesh traversal: "skip" or "stack" (near-
-                             # first ordered; see trace_mesh_stack)
-
-DEFAULT_WALK_BATCH = 2       # mesh walk: node steps per while iteration.
-                             # Measured on v5e (100k-tri scene, rows=32):
-                             # wb=1 7.30s, wb=2 7.09s, wb=4 9.75s, wb=8
-                             # 8.17s — the while-loop's own overhead is
-                             # small; larger unrolls lose to register
-                             # pressure (4 tri-test lax.conds per body).
+DEFAULT_WALK_MODE = "defer"  # mesh traversal: "defer" (deferred-liveness
+                             # skip walk — r3 sweep winner), "skip", or
+                             # "stack" (near-first ordered)
+DEFAULT_MESH_ROWS = 16       # r3 sweep: rows=16 wb=4 beats rows=32 for
+                             # the defer walk (bench_records/r3_probe_defer)
+DEFAULT_MESH_WALK_BATCH = 4  # r3: the while_loop's data-dependent cond
+                             # costs ~0.4us per ITERATION (probe_walkablate
+                             # — body content/carry size barely matter);
+                             # unrolling 4 node steps per iteration
+                             # amortizes it. The round-2 wb=2 default
+                             # predates the defer walk.
 
 
 def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
-                      rows=DEFAULT_ROWS, return_stats=False, progress=False,
+                      rows=None, return_stats=False, progress=False,
                       walk_batch=None, sample_offset=0, regen_frac=None,
                       walk=None):
     """Full-frame MIS render with the persistent Pallas megakernel.
@@ -1799,11 +2052,13 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     tables, static = _pack_scene_cached(scene)
     W, H, spp = settings.width, settings.height, settings.spp
     n_pixels = W * H
+    is_mesh = bool(static.get("mesh", False))
+    if rows is None:
+        rows = DEFAULT_MESH_ROWS if is_mesh else DEFAULT_ROWS
     P = rows * 128
     while rows > 1 and (rows // 2) * 128 >= n_pixels:
         rows //= 2
         P = rows * 128
-    is_mesh = bool(static.get("mesh", False))
     n_blocks, _ = _block_layout(is_mesh, W, H, P)
 
     interpret = jax.default_backend() == "cpu"
@@ -1818,12 +2073,18 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
         import dataclasses as _dc
         settings = _dc.replace(settings, shading_dtype="f32")
 
+    stream = bool(static.get("mesh_stream", False))
     if walk_batch is None:
-        walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
+        walk_batch = ((2 if stream else DEFAULT_MESH_WALK_BATCH)
+                      if is_mesh else 1)
     if regen_frac is None:
         regen_frac = DEFAULT_REGEN_FRAC if is_mesh else 1.0
     if walk is None:
-        walk = DEFAULT_WALK_MODE if is_mesh else "skip"
+        # HBM-streamed tables: the defer walk's speculative successor
+        # slab inside the DMA'd leaf branch crashes the Mosaic compile
+        # helper (r3_probe_e) — streamed scenes keep the proven skip walk
+        walk = (("skip" if stream else DEFAULT_WALK_MODE)
+                if is_mesh else "skip")
     static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, n_blocks, walk_batch,
                  regen_frac, walk)
@@ -1831,7 +2092,7 @@ def render_megakernel(scene: ir.Scene, settings: ir.RenderSettings,
     fn = _build_renderer(scene_key, settings, static_key, rows, n_blocks,
                          n_pixels, interpret, walk_batch, regen_frac, walk)
 
-    args = _runtime_args(tables, static) + (
+    args = _runtime_args(tables, static, walk) + (
         np.array([[0, sample_offset]], np.int32),)
     t0 = time.time()
     film_r, film_g, film_b, stats = jax.block_until_ready(fn(*args))
@@ -1891,10 +2152,13 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
     n_blocks, _ = _block_layout(is_mesh, W, H, P)
     blocks_per_dev = -(-n_blocks // n_dev)
 
+    stream = bool(static.get("mesh_stream", False))
     if walk_batch is None:
-        walk_batch = DEFAULT_WALK_BATCH if is_mesh else 1
+        walk_batch = ((2 if stream else DEFAULT_MESH_WALK_BATCH)
+                      if is_mesh else 1)
     regen_frac = DEFAULT_REGEN_FRAC if is_mesh else 1.0
-    walk_mode = DEFAULT_WALK_MODE if is_mesh else "skip"
+    walk_mode = (("skip" if stream else DEFAULT_WALK_MODE)
+                 if is_mesh else "skip")
     static_key = _static_key(scene, static)
     scene_key = (static_key, settings, rows, blocks_per_dev, "sharded",
                  walk_batch, regen_frac, walk_mode)
@@ -1904,7 +2168,7 @@ def render_megakernel_sharded(scene: ir.Scene, settings: ir.RenderSettings,
                          blocks_per_dev, n_pixels, interpret, walk_batch,
                          regen_frac, walk_mode)
 
-    args = _runtime_args(tables, static)
+    args = _runtime_args(tables, static, walk_mode)
 
     def shard_fn(*tb):
         i = jax.lax.axis_index(axis)

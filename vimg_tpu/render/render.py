@@ -20,6 +20,38 @@ from vimg_tpu.render.integrators import trace_radiance
 from vimg_tpu.scene import ir
 
 
+_CHUNK_CACHE = {}
+
+
+def _cached_chunk_step(settings, tracer, integrator, B, total):
+    """The jitted chunk step is cached per static configuration — a fresh
+    closure per render() call would retrace AND recompile every frame
+    (the scene rides as a traced argument, so scene-parameter changes do
+    NOT invalidate the cache)."""
+    spp = settings.spp
+    key = (id(tracer), settings, integrator, B, total)
+    hit = _CHUNK_CACHE.get(key)
+    if hit is not None and hit[0] is tracer:
+        return hit[1]
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def chunk_step(scene, accum, k0, samp_off):
+        k = k0 + jnp.arange(B, dtype=jnp.int32)
+        valid = k < total
+        ks = jnp.where(valid, k, 0)
+        pix = ks // spp
+        samp = ks % spp + samp_off
+        col = trace_radiance(scene, settings, tracer, pix, samp,
+                             integrator=integrator)
+        col = jnp.where(valid[:, None], col, 0.0)
+        return accum.at[pix].add(col)
+
+    if len(_CHUNK_CACHE) > 16:
+        _CHUNK_CACHE.clear()
+    _CHUNK_CACHE[key] = (tracer, chunk_step)
+    return chunk_step
+
+
 def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
            progress=False, integrator=None, sample_offset=0):
     """Render a full frame. Returns linear (H, W, 3) float32 numpy array.
@@ -34,18 +66,7 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
     total = W * H * spp
     B = min(settings.batch_size, total)
     n_chunks = (total + B - 1) // B
-
-    @functools.partial(jax.jit, donate_argnums=(1,))
-    def chunk_step(scene, accum, k0, samp_off):
-        k = k0 + jnp.arange(B, dtype=jnp.int32)
-        valid = k < total
-        ks = jnp.where(valid, k, 0)
-        pix = ks // spp
-        samp = ks % spp + samp_off
-        col = trace_radiance(scene, settings, tracer, pix, samp,
-                             integrator=integrator)
-        col = jnp.where(valid[:, None], col, 0.0)
-        return accum.at[pix].add(col)
+    chunk_step = _cached_chunk_step(settings, tracer, integrator, B, total)
 
     accum = jnp.zeros((W * H, 3), jnp.float32)
     t0 = time.time()

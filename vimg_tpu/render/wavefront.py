@@ -374,6 +374,26 @@ def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None):
     return run
 
 
+_RUN_CACHE = {}
+
+
+def _cached_run(scene, settings, tracer, total, B):
+    """make_run rebuilds (and re-jits) the whole run-to-completion loop —
+    10s of seconds of compile on mesh scenes. Cache the compiled fn per
+    (scene, tracer, settings, shapes): repeat renders (slabs, benches,
+    sweeps) must pay compile once. Holds scene/tracer refs so ids can't
+    be reused while cached."""
+    key = (id(scene), id(tracer), settings, total, B)
+    hit = _RUN_CACHE.get(key)
+    if hit is not None and hit[0] is scene and hit[1] is tracer:
+        return hit[2]
+    run = make_run(scene, settings, tracer, total, B)
+    if len(_RUN_CACHE) > 16:
+        _RUN_CACHE.clear()
+    _RUN_CACHE[key] = (scene, tracer, run)
+    return run
+
+
 def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
                      tracer=None, progress=False, sample_offset=0,
                      return_stats=False):
@@ -388,7 +408,7 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
     state = init_state(B)
     state["samp_off"] = jnp.int32(sample_offset)
     accum = jnp.zeros((3, W * H), jnp.float32)
-    run = make_run(scene, settings, tracer, total, B)
+    run = _cached_run(scene, settings, tracer, total, B)
 
     t0 = time.time()
     state, accum, it = run(state, accum)
