@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_PATHS_PER_S = 12.9e6
@@ -90,30 +92,34 @@ MESH_BASELINE_PATHS_PER_S = 2.7e6   # matpreview class (BASELINE.md)
 
 
 def bench_mesh(n_tris=100_000, spp=64):
-    """Mesh-traversal throughput on the synthetic 100k-tri terrain scene
-    (megakernel in-kernel cluster walk). Returns extra JSON fields."""
-    import dataclasses
-
-    from vimg_tpu.render.mega import render_megakernel, supports_megakernel
+    """Mesh throughput on the synthetic 100k-tri terrain scene via the
+    production dispatch (round 3: refill wavefront + Pallas ClusterTracer
+    beats the mesh megakernel at production spp). Extra JSON fields."""
+    from vimg_tpu.geometry.cluster_trace import ClusterTracer
+    from vimg_tpu.render.wavefront import render_wavefront
     from vimg_tpu.scene import ir
     from vimg_tpu.scene.synthetic import terrain_scene
 
     scene = terrain_scene(n_tris, width=512, height=256)
     st = ir.RenderSettings(width=512, height=256, spp=spp, max_depth=64,
-                           integrator="mis", batch_size=1 << 18)
-    assert supports_megakernel(scene, st)
+                           integrator="mis", batch_size=1 << 17)
     total = st.width * st.height * st.spp
-    _, s = render_megakernel(scene, st, return_stats=True)
-    dt = s["seconds"]
-    for _ in range(1):
-        _, s2 = render_megakernel(scene, st, return_stats=True)
-        if s2["seconds"] < dt:
-            dt, s = s2["seconds"], s2
+    tracer = ClusterTracer(scene)
+    render_wavefront(scene, st, tracer=tracer)         # compile
+    dt = np.inf
+    stats = None
+    for _ in range(2):
+        t0 = time.time()
+        _, s2 = render_wavefront(scene, st, tracer=tracer,
+                                 return_stats=True)
+        d2 = time.time() - t0
+        if d2 < dt:
+            dt, stats = d2, s2
     mpaths = total / dt
-    mrays = (s["segments"] + s["shadow_rays"]) / dt
+    mrays = (stats["segments"] + stats["shadow_rays"]) / dt
     return {
-        "mesh_metric": (f"camera paths/s, mesh megakernel mis, terrain "
-                        f"{n_tris // 1000}k tris 512x256@{spp}spp"),
+        "mesh_metric": (f"camera paths/s, mesh wavefront+cluster mis, "
+                        f"terrain {n_tris // 1000}k tris 512x256@{spp}spp"),
         "mesh_paths_per_s": round(mpaths, 1),
         "mesh_rays_per_s": round(mrays, 1),
         "mesh_vs_matpreview_baseline": round(

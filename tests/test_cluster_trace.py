@@ -126,3 +126,23 @@ class TestClusterTracer:
         # same estimator; tiny fp differences in t can flip rare
         # epsilon races — compare statistically
         assert np.abs(img_c - img_b).mean() < 5e-3
+
+    def test_group_gate_parity(self):
+        """The TPU production config (per-row-group gated tri tests,
+        wide tiles) is bit-equal to the ungated walk: row-group culling
+        is conservative (a tri is inside its sub-block AABB, so a lane
+        whose [minT, entry-bt] segment misses the box cannot hit), and
+        the surviving t/u/v math is identical. CPU defaults resolve to
+        the ungated config for interpret speed — this test pins the
+        gated one explicitly."""
+        scene = _soup_scene(900)
+        ro, rd, minT, maxT = _rays(B=1536, seed=11)
+        base = ClusterTracer(scene, group_gate=False, tile_rows=32)
+        gated = ClusterTracer(scene, group_gate=True, tile_rows=32)
+        h0 = base.closest(scene, ro, rd, minT, maxT)
+        h1 = gated.closest(scene, ro, rd, minT, maxT)
+        for a, b in zip(h0, h1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        o0 = base.occluded(scene, ro, rd, minT, jnp.full((1536,), 4.0))
+        o1 = gated.occluded(scene, ro, rd, minT, jnp.full((1536,), 4.0))
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))

@@ -351,3 +351,56 @@ class TestSharded:
         single = render_megakernel(scene, st, rows=8)
         multi = render_megakernel_sharded(scene, st, rows=8)
         assert np.abs(np.asarray(single) - np.asarray(multi)).max() < 1e-6
+
+
+class TestManyMaterials:
+    def test_many_material_scene_routes_to_wavefront(self):
+        """Scenes past MEGA_MAX_MATERIALS route off the megakernel: its
+        per-lane material resolution is an O(n_mats) select chain per
+        bounce, while the wavefront's is one jnp.take (flat in n_mats —
+        r3_probe_c: 0.1-1.3 ns/row). A 128-material mesh scene must (a)
+        be rejected by supports_megakernel and (b) render correctly
+        through the wavefront (reference gltf_loading.cpp:547-690
+        converts real scenes to hundreds of Principled materials)."""
+        import numpy as np
+
+        from vimg_tpu.core.math import look_at
+        from vimg_tpu.render.camera import Camera
+        from vimg_tpu.render.mega import supports_megakernel
+        from vimg_tpu.render.wavefront import render_wavefront
+        from vimg_tpu.scene.json_loader import SceneBuilder
+        from vimg_tpu.scene.synthetic import bumpy_sphere_mesh
+
+        rs = np.random.RandomState(3)
+        verts, tris = bumpy_sphere_mesh(2000)
+        b = SceneBuilder()
+        mats = [b.add_material(ir.MAT_PRINCIPLED,
+                               base=tuple(rs.rand(3) * 0.8 + 0.1),
+                               scalars={ir.MS_IOR: 1.5,
+                                        ir.MS_ROUGHNESS: 0.3 + 0.5 * rs.rand(),
+                                        ir.MS_METALLIC: rs.rand(),
+                                        ir.MS_SPECULAR: 0.5,
+                                        ir.MS_SUBSURFACE: 0.2,
+                                        ir.MS_SHEEN_TINT: 0.5,
+                                        ir.MS_CLEARCOAT_GLOSS: 0.5})
+                for _ in range(127)]
+        light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(12.0, 12.0, 12.0))
+        # split the mesh across the 127 materials
+        n = len(tris)
+        step = max(n // 127, 1)
+        for i in range(127):
+            sl = tris[i * step:(i + 1) * step] if i < 126 else tris[126 * step:]
+            if len(sl):
+                b.add_mesh(verts, sl, mats[i])
+        lv = np.array([[-0.6, 2.4, -0.6], [0.6, 2.4, -0.6],
+                       [0.6, 2.4, 0.6], [-0.6, 2.4, 0.6]], np.float32)
+        b.add_mesh(lv, np.array([[0, 1, 2], [0, 2, 3]]), light)
+        cam = Camera.make(look_at([0, 0.6, 3.2], [0, 0, 0], [0, 1, 0]),
+                          48, 24, 40.0)
+        scene = b.build(camera=cam, bg_color=(0.05, 0.06, 0.08))
+        st = ir.RenderSettings(width=48, height=24, spp=2, max_depth=4,
+                               integrator="mis", batch_size=1 << 12)
+        assert scene.mat_type.shape[0] == 128
+        assert not supports_megakernel(scene, st)
+        img = render_wavefront(scene, st)
+        assert np.isfinite(img).all() and float(np.asarray(img).mean()) > 0

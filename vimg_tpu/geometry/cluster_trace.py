@@ -47,12 +47,13 @@ from vimg_tpu.geometry.bvh import build_bvh_numpy
 from vimg_tpu.scene import ir
 
 CLUSTER_K = 64          # triangles per cluster (pad with inert zero rows)
-TILE_ROWS = 32          # ray tile = TILE_ROWS * 128 lanes (min 8: Pallas
-                        # requires block rows divisible by 8). 32 measured
-                        # 1.8x faster than 16 end-to-end in the wavefront
-                        # (Morton-sorted batches: bigger tiles amortize the
-                        # per-node walk overhead faster than the union
-                        # grows; mesh e2e 72 s vs 130 s at spp=16)
+TILE_ROWS = 64          # ray tile = TILE_ROWS * 128 lanes (min 8: Pallas
+                        # requires block rows divisible by 8). With
+                        # per-row-group gated tri tests, bigger tiles
+                        # amortize the per-node walk overhead while tri
+                        # tests stay (8,128)-granular: 64 beat 32 by
+                        # +11-16% e2e on terrain/bumpy 100k and was the
+                        # round-3 sweep peak (bench_records/r3_probe_g.json)
 ROW16 = 16              # floats per packed triangle row (12 used)
 
 
@@ -340,7 +341,8 @@ class ClusterData:
 # ---------------------------------------------------------------------------
 
 def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
-                       count_stats=False, mode="stream"):
+                       count_stats=False, mode="stream", walk_batch=4,
+                       group_gate=True):
     """One kernel instance per RAY TILE; the traversal is an in-kernel
     scalar while_loop over the cluster tree (preorder + skip links, all
     metadata in SMEM): dense slab test of the tile vs the node AABB,
@@ -379,18 +381,38 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
         else:
             tri_buf, dma_sem = rest
 
-        ox, oy, oz = rox[:], roy[:], roz[:]
-        dx, dy, dz = rdx[:], rdy[:], rdz[:]
-        minT = tmin_ref[:]
-        idx = 1.0 / jnp.where(dx == 0.0, 1e-30, dx)
-        idy = 1.0 / jnp.where(dy == 0.0, 1e-30, dy)
-        idz = 1.0 / jnp.where(dz == 0.0, 1e-30, dz)
+        # Per-row-group (8,128) ray/hit state: ONE shared tile walk, but
+        # each vreg group only pays dense tri tests for (leaf, sub-box)
+        # pairs IT touches (rows=32 vs rows=8 leaf stats: ~2.2x fewer
+        # lane-tri tests, without small-tiles' 4x walk overhead). State
+        # never crosses groups, so the while carry holds per-group arrays
+        # (dynamic_update_slice does not lower in Mosaic).
+        n_groups = tile_rows // 8 if (group_gate and tile_rows > 8) else 1
+        R = tile_rows // n_groups
+        gsl = [pl.ds(g * R, R) for g in range(n_groups)]
+        oxs = [rox[s, :] for s in gsl]
+        oys = [roy[s, :] for s in gsl]
+        ozs = [roz[s, :] for s in gsl]
+        dxs = [rdx[s, :] for s in gsl]
+        dys = [rdy[s, :] for s in gsl]
+        dzs = [rdz[s, :] for s in gsl]
+        minTs = [tmin_ref[s, :] for s in gsl]
+        idxs = [1.0 / jnp.where(d == 0.0, 1e-30, d) for d in dxs]
+        idys = [1.0 / jnp.where(d == 0.0, 1e-30, d) for d in dys]
+        idzs = [1.0 / jnp.where(d == 0.0, 1e-30, d) for d in dzs]
+
+        def _or(xs):
+            return functools.reduce(jnp.logical_or, xs)
 
         def cond(carry):
             return carry[0] < n_nodes
 
-        def body(carry):
-            n, bt0, code0, bu0, bv0, nv, nl = carry
+        def step(carry):
+            n0, bts0, codes0, bus0, bvs0, nv, nl = carry
+            # with walk_batch > 1 a step may run past the walk's end:
+            # clamp reads and no-op via ``valid``
+            valid = n0 < n_nodes
+            n = jnp.minimum(n0, n_nodes - 1)
             cid = cid_ref[n // 128, n % 128]
             c = jnp.maximum(cid, 0)
             if mode == "stream":
@@ -423,67 +445,81 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
             bxh = aabb_ref[arow, acol + 3]
             byh = aabb_ref[arow, acol + 4]
             bzh = aabb_ref[arow, acol + 5]
-            t0x = (bxl - ox) * idx
-            t1x = (bxh - ox) * idx
-            t0y = (byl - oy) * idy
-            t1y = (byh - oy) * idy
-            t0z = (bzl - oz) * idz
-            t1z = (bzh - oz) * idz
-            tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                          jnp.minimum(t0y, t1y)),
-                              jnp.maximum(jnp.minimum(t0z, t1z), minT))
-            tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                           jnp.maximum(t0y, t1y)),
-                               jnp.minimum(jnp.maximum(t0z, t1z), bt0))
-            live = tin <= tout
-            if any_hit:
-                live = live & (bt0 > -jnp.inf)
-            any_live = jnp.any(live)
+            lives = []
+            for g in range(n_groups):
+                t0x = (bxl - oxs[g]) * idxs[g]
+                t1x = (bxh - oxs[g]) * idxs[g]
+                t0y = (byl - oys[g]) * idys[g]
+                t1y = (byh - oys[g]) * idys[g]
+                t0z = (bzl - ozs[g]) * idzs[g]
+                t1z = (bzh - ozs[g]) * idzs[g]
+                tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                              jnp.minimum(t0y, t1y)),
+                                  jnp.maximum(jnp.minimum(t0z, t1z),
+                                              minTs[g]))
+                tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.minimum(jnp.maximum(t0z, t1z),
+                                               bts0[g]))
+                lv = tin <= tout
+                if any_hit:
+                    lv = lv & (bts0[g] > -jnp.inf)
+                lives.append(lv)
+            any_live = _or([jnp.any(lv) for lv in lives]) & valid
             if mode == "stream":
                 dma.wait()
 
-            def test16(sub0, carry):
-                bt, code, bu, bv = carry
-                for k in range(sub0, min(sub0 + 16, max_k)):
-                    nx = tconst(k, 0)
-                    ny = tconst(k, 1)
-                    nz = tconst(k, 2)
-                    d0 = tconst(k, 3)
-                    m1x = tconst(k, 4)
-                    m1y = tconst(k, 5)
-                    m1z = tconst(k, 6)
-                    c1 = tconst(k, 7)
-                    m2x = tconst(k, 8)
-                    m2y = tconst(k, 9)
-                    m2z = tconst(k, 10)
-                    c2 = tconst(k, 11)
-                    ro_n = ox * nx + oy * ny + oz * nz
-                    rd_n = dx * nx + dy * ny + dz * nz
+            def _read_tris(sub0):
+                """Hoist one 16-tri sub-block's scalar constants (12 per
+                tri) so the per-row-group test loop below doesn't re-read
+                them once per group."""
+                return [tuple(tconst(k, j) for j in range(12))
+                        for k in range(sub0, min(sub0 + 16, max_k))]
+
+            def _test_group(sub0, consts, g, gate, cg):
+                """Dense tri tests of row group ``g`` vs one 16-tri
+                sub-block. ``gate`` is the per-lane liveness used in the
+                hit mask — conservative row-group culling: a triangle is
+                contained in its sub-block AABB, so a lane whose
+                [minT, entry-bt] ray segment misses the sub-box cannot
+                produce a valid hit."""
+                btg, codeg, bug, bvg = cg
+                oxg, oyg, ozg = oxs[g], oys[g], ozs[g]
+                dxg, dyg, dzg = dxs[g], dys[g], dzs[g]
+                minTg = minTs[g]
+                for k, (nx, ny, nz, d0, m1x, m1y, m1z, c1,
+                        m2x, m2y, m2z, c2) in enumerate(consts, sub0):
+                    ro_n = oxg * nx + oyg * ny + ozg * nz
+                    rd_n = dxg * nx + dyg * ny + dzg * nz
                     par = jnp.abs(rd_n) < 1e-22
                     t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
-                    u = (ox * m1x + oy * m1y + oz * m1z - c1
-                         + t * (dx * m1x + dy * m1y + dz * m1z))
-                    v = (ox * m2x + oy * m2y + oz * m2z - c2
-                         + t * (dx * m2x + dy * m2y + dz * m2z))
+                    u = (oxg * m1x + oyg * m1y + ozg * m1z - c1
+                         + t * (dxg * m1x + dyg * m1y + dzg * m1z))
+                    v = (oxg * m2x + oyg * m2y + ozg * m2z - c2
+                         + t * (dxg * m2x + dyg * m2y + dzg * m2z))
                     hit = (~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                           & (t >= minT) & (t < bt) & live)
+                           & (t >= minTg) & (t < btg) & gate)
                     if any_hit:
-                        bt = jnp.where(hit, -jnp.inf, bt)
+                        btg = jnp.where(hit, -jnp.inf, btg)
                     else:
                         fcode = (c * max_k + k).astype(jnp.float32)
-                        code = jnp.where(hit, fcode, code)
-                        bu = jnp.where(hit, u, bu)
-                        bv = jnp.where(hit, v, bv)
-                        bt = jnp.where(hit, t, bt)
-                return bt, code, bu, bv
+                        codeg = jnp.where(hit, fcode, codeg)
+                        bug = jnp.where(hit, u, bug)
+                        bvg = jnp.where(hit, v, bvg)
+                        btg = jnp.where(hit, t, btg)
+                return btg, codeg, bug, bvg
 
             n_sub = max(max_k // 16, 1)
 
-            def tri_tests(carry):
+            def tri_tests(carry4):
                 # 16-tri sub-blocks, each gated on its own AABB (packed in
-                # the spare slots of tri rows 2s / 2s+1 — see ClusterData):
-                # a leaf where only one sub-box is live costs 1/n_sub of
-                # the dense tests. occluded (-inf) lanes fail tin<=tout.
+                # the spare slots of tri rows 2s / 2s+1 — see ClusterData)
+                # PER ROW GROUP: a (leaf, sub-box) pair costs dense tests
+                # only in groups whose rays touch the sub-box over their
+                # [minT, entry-bt] segment. occluded (-inf) lanes fail
+                # tin<=tout. All sub-box chains + reductions are issued
+                # before the first cond (the reduces pipeline; entry bt —
+                # conservative, the exact t < bt test still clamps).
                 if mode == "resident_dma":
                     # copy only at live leaves, VMEM->VMEM (cheap)
                     dma2 = pltpu.make_async_copy(
@@ -493,56 +529,105 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                     dma2.start()
                     dma2.wait()
                 if n_sub == 1:
-                    return test16(0, carry)
-                for s in range(n_sub):
-                    slx, sly, slz = (tconst(2 * s, 13), tconst(2 * s, 14),
-                                     tconst(2 * s, 15))
-                    shx, shy, shz = (tconst(2 * s + 1, 13),
-                                     tconst(2 * s + 1, 14),
-                                     tconst(2 * s + 1, 15))
-                    bt = carry[0]
-                    s0x = (slx - ox) * idx
-                    s1x = (shx - ox) * idx
-                    s0y = (sly - oy) * idy
-                    s1y = (shy - oy) * idy
-                    s0z = (slz - oz) * idz
-                    s1z = (shz - oz) * idz
-                    stin = jnp.maximum(jnp.maximum(jnp.minimum(s0x, s1x),
-                                                   jnp.minimum(s0y, s1y)),
-                                       jnp.maximum(jnp.minimum(s0z, s1z),
-                                                   minT))
-                    stout = jnp.minimum(jnp.minimum(jnp.maximum(s0x, s1x),
-                                                    jnp.maximum(s0y, s1y)),
-                                        jnp.minimum(jnp.maximum(s0z, s1z),
-                                                    bt))
-                    s_any = jnp.any(live & (stin <= stout))
-                    carry = jax.lax.cond(
-                        s_any, functools.partial(test16, s * 16),
-                        lambda cr: cr, carry)
-                return carry
+                    masks = [lives]
+                else:
+                    bts_e = carry4[0]
+                    masks = []
+                    for s in range(n_sub):
+                        slx, sly, slz = (tconst(2 * s, 13),
+                                         tconst(2 * s, 14),
+                                         tconst(2 * s, 15))
+                        shx, shy, shz = (tconst(2 * s + 1, 13),
+                                         tconst(2 * s + 1, 14),
+                                         tconst(2 * s + 1, 15))
+                        row = []
+                        for g in range(n_groups):
+                            s0x = (slx - oxs[g]) * idxs[g]
+                            s1x = (shx - oxs[g]) * idxs[g]
+                            s0y = (sly - oys[g]) * idys[g]
+                            s1y = (shy - oys[g]) * idys[g]
+                            s0z = (slz - ozs[g]) * idzs[g]
+                            s1z = (shz - ozs[g]) * idzs[g]
+                            stin = jnp.maximum(
+                                jnp.maximum(jnp.minimum(s0x, s1x),
+                                            jnp.minimum(s0y, s1y)),
+                                jnp.maximum(jnp.minimum(s0z, s1z),
+                                            minTs[g]))
+                            stout = jnp.minimum(
+                                jnp.minimum(jnp.maximum(s0x, s1x),
+                                            jnp.maximum(s0y, s1y)),
+                                jnp.minimum(jnp.maximum(s0z, s1z),
+                                            bts_e[g]))
+                            row.append(lives[g] & (stin <= stout))
+                        masks.append(row)
+                ganys = [[jnp.any(m) for m in row] for row in masks]
+
+                for s in range(len(masks)):
+                    def do_sub(c4, s=s):
+                        consts = _read_tris(s * 16)
+                        bts, codes, bus, bvs = map(list, c4)
+                        for g in range(n_groups):
+                            cg = (bts[g], codes[g], bus[g], bvs[g])
+                            if n_groups > 1:
+                                cg = jax.lax.cond(
+                                    ganys[s][g],
+                                    functools.partial(_test_group, s * 16,
+                                                      consts, g,
+                                                      masks[s][g]),
+                                    lambda c_: c_, cg)
+                            else:
+                                cg = _test_group(s * 16, consts, g,
+                                                 masks[s][g], cg)
+                            bts[g], codes[g], bus[g], bvs[g] = cg
+                        return (tuple(bts), tuple(codes), tuple(bus),
+                                tuple(bvs))
+
+                    if len(masks) == 1:
+                        carry4 = do_sub(carry4)
+                    else:
+                        carry4 = jax.lax.cond(_or(ganys[s]), do_sub,
+                                              lambda c_: c_, carry4)
+                return carry4
 
             is_leaf = cid >= 0
-            bt, code, bu, bv = jax.lax.cond(
+            bts, codes, bus, bvs = jax.lax.cond(
                 any_live & is_leaf, tri_tests, lambda cr: cr,
-                (bt0, code0, bu0, bv0))
+                (bts0, codes0, bus0, bvs0))
 
-            n_next = jnp.where(any_live, n + 1,
-                               skip_ref[n // 128, n % 128])
-            if any_hit:
-                # early out once every lane is occluded
-                n_next = jnp.where(jnp.any(bt > -jnp.inf), n_next, n_nodes)
-            nv = nv + 1.0
+            n_next = jnp.where(
+                valid, jnp.where(any_live, n + 1,
+                                 skip_ref[n // 128, n % 128]), n0)
+            nv = nv + jnp.where(valid, 1.0, 0.0)
             nl = nl + jnp.where(any_live & is_leaf, 1.0, 0.0)
-            return n_next, bt, code, bu, bv, nv, nl
+            return n_next, bts, codes, bus, bvs, nv, nl
 
-        z = jnp.zeros(shape, jnp.float32)
-        init = (jnp.int32(0), tmax_ref[:], z - 1.0, z, z,
+        def body(carry):
+            # unroll walk_batch node steps per while iteration: the
+            # data-dependent while cond costs ~0.4us per ITERATION on v5e
+            # (r3_probe_walkablate) regardless of body size
+            for _ in range(walk_batch):
+                carry = step(carry)
+            if any_hit:
+                # early out once every lane is occluded (per batch)
+                alive = _or([jnp.any(b > -jnp.inf) for b in carry[1]])
+                n_stop = jnp.where(alive, carry[0], n_nodes)
+                carry = (n_stop,) + carry[1:]
+            return carry
+
+        zg = jnp.zeros((R, 128), jnp.float32)
+        init = (jnp.int32(0),
+                tuple(tmax_ref[s, :] for s in gsl),
+                tuple(zg - 1.0 for _ in range(n_groups)),
+                tuple(zg for _ in range(n_groups)),
+                tuple(zg for _ in range(n_groups)),
                 jnp.float32(0.0), jnp.float32(0.0))
-        _, bt, code, bu, bv, nv, nl = jax.lax.while_loop(cond, body, init)
-        bt_ref[:] = bt
-        code_ref[:] = code
-        bu_ref[:] = bu
-        bv_ref[:] = bv
+        _, bts, codes, bus, bvs, nv, nl = jax.lax.while_loop(cond, body,
+                                                             init)
+        for g, s in enumerate(gsl):
+            bt_ref[s, :] = bts[g]
+            code_ref[s, :] = codes[g]
+            bu_ref[s, :] = bus[g]
+            bv_ref[s, :] = bvs[g]
         if count_stats:
             col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
             stats_ref[:] = (jnp.where(col == 0, nv, 0.0)
@@ -553,9 +638,10 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
 
 @functools.lru_cache(maxsize=32)
 def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
-                    interpret, count_stats=False, mode="stream"):
+                    interpret, count_stats=False, mode="stream",
+                    walk_batch=4, group_gate=True):
     kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
-                                count_stats, mode)
+                                count_stats, mode, walk_batch, group_gate)
     shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
 
     ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
@@ -652,10 +738,21 @@ class ClusterTracer:
     RESIDENT_BUDGET_BYTES = 12 * 2 ** 20
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
-                 tile_rows=TILE_ROWS, sort_rays=True, sort_mode="origin",
-                 mode="auto", builder="auto"):
+                 tile_rows=None, sort_rays=True, sort_mode="origin",
+                 mode="auto", builder="auto", group_gate="auto"):
+        on_cpu = jax.default_backend() == "cpu"
+        if tile_rows is None:
+            # CPU runs the kernel interpreted (Python per grid step):
+            # smaller tiles keep tests fast; results are config-exact
+            tile_rows = 32 if on_cpu else TILE_ROWS
         if tile_rows % 8 or tile_rows < 8:
             raise ValueError("tile_rows must be a positive multiple of 8")
+        if group_gate == "auto":
+            # per-group gating multiplies interpret-mode Python work
+            # n_groups-fold for zero CPU benefit; parity between gate
+            # modes is exact (test_cluster_trace group-gate test)
+            group_gate = not on_cpu
+        self.group_gate = group_gate
         self.data = ClusterData(scene, max_k, builder=builder)
         if mode == "auto":
             fits = self.data.tri_rows.nbytes <= self.RESIDENT_BUDGET_BYTES
@@ -706,7 +803,7 @@ class ClusterTracer:
         interpret = jax.default_backend() == "cpu"
         fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
                              self.tile_rows, any_hit, interpret, count_stats,
-                             self.mode)
+                             self.mode, group_gate=self.group_gate)
         # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
         # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]

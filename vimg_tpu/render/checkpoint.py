@@ -44,21 +44,26 @@ def _takes_megakernel(scene, settings, use_wavefront):
     repeated per slab or wasted."""
     import jax
     from vimg_tpu.render.mega import supports_megakernel
+    from vimg_tpu.render.render import prefer_wavefront_for_mesh
     return (use_wavefront and settings.integrator in ("mis", "material")
             and jax.default_backend() != "cpu"
-            and supports_megakernel(scene, settings))
+            and supports_megakernel(scene, settings)
+            and not prefer_wavefront_for_mesh(scene, settings))
 
 
-def _render_digest(scene, settings, use_wavefront):
+def _render_digest(scene, settings, use_wavefront, slab_spp):
     """Fingerprint of (scene, settings, renderer path): mixing slabs from
     a different scene/config — or from a different estimator path after a
     renderer upgrade — is near-parity but not bit-identical; refuse."""
     h = hashlib.sha256()
     # spp excluded: extending the sample target of an existing render is a
-    # legitimate resume (slab streams depend on sample_offset, not total)
+    # legitimate resume (slab streams depend on sample_offset, not total).
+    # The renderer-path tag is computed at SLAB spp — that's what
+    # _render_slab dispatches on.
     h.update(repr(dataclasses.astuple(
         dataclasses.replace(settings, spp=0))).encode())
-    h.update(b"mega" if _takes_megakernel(scene, settings, use_wavefront)
+    slab = dataclasses.replace(settings, spp=slab_spp)
+    h.update(b"mega" if _takes_megakernel(scene, slab, use_wavefront)
              else b"wavefront")
     for name in ("verts", "tri_vidx", "sph_center", "sph_radius",
                  "mat_base", "mat_scalars", "light_type", "light_idx"):
@@ -76,13 +81,14 @@ def render_with_checkpoints(scene, settings, path, slab_spp=16, tracer=None,
     # actually serve the slabs (the megakernel packs its own tables; an
     # eager build would be wasted — and a per-slab build would repeat the
     # host acceleration-structure build slab_count times)
-    if tracer is None and not _takes_megakernel(scene, settings,
-                                                use_wavefront):
+    if tracer is None and not _takes_megakernel(
+            scene, dataclasses.replace(settings, spp=slab_spp),
+            use_wavefront):
         from vimg_tpu.geometry.trace import make_tracer
         tracer = make_tracer(scene)
     W, H = settings.width, settings.height
     total_spp = settings.spp
-    digest = _render_digest(scene, settings, use_wavefront)
+    digest = _render_digest(scene, settings, use_wavefront, slab_spp)
 
     accum = np.zeros((H, W, 3), np.float32)
     done = 0

@@ -59,6 +59,15 @@ MESH_VMEM_BUDGET = 10 * 2 ** 20
 MESH_MEGA_MAX_TRIS = 2_000_000
 _FORCE_STREAM = False        # test hook: stream even below the budget
 
+# Per-lane material params resolve via static select chains (gather_mat):
+# O(n_mats) VPU work per bounce. Fine for authored scenes (<= a few dozen
+# materials); real glTF scenes carry hundreds — those route to the XLA
+# wavefront, whose per-lane material fetch is one jnp.take (measured
+# 0.1-1.3 ns/row, bench_records/r3_probe_c.json) and therefore flat in
+# n_mats. Same treatment as lights.
+MEGA_MAX_MATERIALS = 48
+MEGA_MAX_LIGHTS = 48
+
 
 def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     """True when the scene fits the megakernel's compiled feature set:
@@ -72,6 +81,9 @@ def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     if not (0 < n_prims):
         return False
     if scene.n_tris() > MESH_MEGA_MAX_TRIS or scene.n_spheres() > 64:
+        return False
+    if (scene.mat_type.shape[0] > MEGA_MAX_MATERIALS
+            or scene.n_lights() > MEGA_MAX_LIGHTS):
         return False
     if scene.has_envmap or scene.has_image_tex or scene.has_checker:
         return False

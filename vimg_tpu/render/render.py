@@ -86,11 +86,28 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
     return img
 
 
+MESH_WAVEFRONT_MIN_SPP = 8
+
+
+def prefer_wavefront_for_mesh(scene, settings):
+    """Round-3 dispatch fact (bench_records/r3_probe_f.json + session
+    logs): at production sample counts the refill wavefront +
+    ClusterTracer beats the mesh megakernel on mesh scenes (terrain 100k
+    0.62 vs 0.45, bumpy 0.54 vs 0.34, streamed terrain 500k 0.20 vs 0.13
+    Mpaths/s) — global Morton-sorted batches at full occupancy amortize
+    better than pixel-tile lanes once spp covers the refill ramp. At very
+    low spp the megakernel's zero-skeleton superstep still wins."""
+    return (scene.n_tris() > 64
+            and settings.spp >= MESH_WAVEFRONT_MIN_SPP
+            and settings.integrator == "mis")
+
+
 def render_frame(scene, settings, tracer=None, progress=False,
                  integrator=None, use_wavefront=True, tracer_force=None):
-    """Render dispatch: the Pallas megakernel for supported MIS scenes on
-    accelerators, the persistent wavefront for other full MIS frames, the
-    chunked loop renderer otherwise.
+    """Render dispatch: the Pallas megakernel for supported analytic MIS
+    scenes on accelerators, the persistent wavefront (with the Pallas
+    ClusterTracer) for mesh/env/texture MIS frames, the chunked loop
+    renderer otherwise.
 
     ``tracer`` is only consumed by the non-megakernel paths — build it
     lazily (or pass ``tracer_force`` and let the dispatch build it) so the
@@ -105,7 +122,9 @@ def render_frame(scene, settings, tracer=None, progress=False,
             settings, integrator=name)
         # on CPU the megakernel only runs interpreted (slow) — keep it for
         # tests; production CPU renders use the XLA wavefront
-        if jax.default_backend() != "cpu" and supports_megakernel(scene, st):
+        if (jax.default_backend() != "cpu"
+                and supports_megakernel(scene, st)
+                and not prefer_wavefront_for_mesh(scene, st)):
             return render_megakernel(scene, st, progress=progress)
         if name == "mis":
             from vimg_tpu.render.wavefront import render_wavefront

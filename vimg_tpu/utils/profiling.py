@@ -63,3 +63,35 @@ def block_and_time(fn, *args, warmup=1, iters=3, **kw):
         out = fn(*args, **kw)
         jax.block_until_ready(out)
     return out, (time.time() - t0) / iters
+
+
+VPU_F32_FLOPS = 428e9   # measured in-kernel FMA peak on v5e
+                        # (bench_records/r2_probe_vpu_bf16.log)
+
+
+def walk_roofline(stats, seconds, rows, max_k=64):
+    """Roofline accounting for a mesh megakernel render: how much of the
+    measured VPU f32 peak the traversal's vector work achieved, and the
+    per-ray work amplification vs an ideal per-ray traversal.
+
+    ``stats`` is render_megakernel(return_stats=True)'s dict. The model
+    charges ~25 flops per (lane, tri) test and ~30 per (lane, node) slab;
+    'useful' assumes ~30 tri tests + 60 box tests per ray (the reference
+    CPU walk's per-ray work, include/bvh.h:87-226)."""
+    lanes = rows * 128
+    leafs = stats.get("leaf_visits", 0.0) + stats.get(
+        "leaf_visits_shadow", 0.0)
+    visits = stats.get("node_visits", 0.0) + stats.get(
+        "node_visits_shadow", 0.0)
+    rays = stats.get("segments", 0.0) + stats.get("shadow_rays", 0.0)
+    tri_flops = leafs * max_k * 25.0 * lanes
+    box_flops = visits * 30.0 * lanes
+    total = tri_flops + box_flops
+    useful = rays * (30 * 25.0 + 60 * 30.0)
+    return dict(
+        rays_per_s=rays / max(seconds, 1e-9),
+        vector_flops=total,
+        vpu_utilization=total / max(seconds, 1e-9) / VPU_F32_FLOPS,
+        work_amplification=total / max(useful, 1.0),
+        tri_tests_per_ray=leafs * max_k * lanes / max(rays, 1.0),
+    )
