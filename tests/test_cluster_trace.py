@@ -4,6 +4,7 @@ The TPU mesh path must agree with the dense reference intersector on
 closest-hit (t, prim id, barycentrics) and any-hit; mixed tri+sphere
 scenes exercise the sphere merge.
 """
+import jax
 import numpy as np
 import pytest
 
@@ -141,7 +142,8 @@ class TestClusterTracer:
         gated = ClusterTracer(scene, group_gate=True, tile_rows=32)
         h0 = base.closest(scene, ro, rd, minT, maxT)
         h1 = gated.closest(scene, ro, rd, minT, maxT)
-        for a, b in zip(h0, h1):
+        for a, b in zip(jax.tree_util.tree_leaves(h0),
+                        jax.tree_util.tree_leaves(h1)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         o0 = base.occluded(scene, ro, rd, minT, jnp.full((1536,), 4.0))
         o1 = gated.occluded(scene, ro, rd, minT, jnp.full((1536,), 4.0))
