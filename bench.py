@@ -117,7 +117,7 @@ def bench_mesh(n_tris=100_000, spp=64):
             dt, stats = d2, s2
     mpaths = total / dt
     mrays = (stats["segments"] + stats["shadow_rays"]) / dt
-    return {
+    out = {
         "mesh_metric": (f"camera paths/s, mesh wavefront+cluster mis, "
                         f"terrain {n_tris // 1000}k tris 512x256@{spp}spp"),
         "mesh_paths_per_s": round(mpaths, 1),
@@ -125,6 +125,58 @@ def bench_mesh(n_tris=100_000, spp=64):
         "mesh_vs_matpreview_baseline": round(
             mpaths / MESH_BASELINE_PATHS_PER_S, 3),
     }
+    try:
+        out.update(bench_mesh_500k())
+    except Exception as e:  # pragma: no cover
+        out["mesh500k_error"] = f"{type(e).__name__}: {e}"[:160]
+    try:
+        out.update(bench_envtex())
+    except Exception as e:  # pragma: no cover
+        out["envtex_error"] = f"{type(e).__name__}: {e}"[:160]
+    return out
+
+
+def bench_mesh_500k(spp=16):
+    """HBM-streamed mesh scale point: 500k tris exceeds the resident
+    cluster-table budget, exercising the per-leaf DMA walk."""
+    from vimg_tpu.geometry.cluster_trace import ClusterTracer
+    from vimg_tpu.render.wavefront import render_wavefront
+    from vimg_tpu.scene import ir
+    from vimg_tpu.scene.synthetic import terrain_scene
+
+    scene = terrain_scene(500_000, width=512, height=256)
+    st = ir.RenderSettings(width=512, height=256, spp=spp, max_depth=64,
+                           integrator="mis", batch_size=1 << 17)
+    total = st.width * st.height * st.spp
+    tracer = ClusterTracer(scene)
+    render_wavefront(scene, st, tracer=tracer)
+    t0 = time.time()
+    render_wavefront(scene, st, tracer=tracer)
+    dt = time.time() - t0
+    return {"mesh500k_paths_per_s": round(total / dt, 1)}
+
+
+def bench_envtex(spp=16):
+    """Env-lit textured mesh (the lego/statues workload class,
+    reference README.md:87-90): wavefront + ClusterTracer with image
+    textures, mip/ray-cone LOD and env-map NEE."""
+    from vimg_tpu.geometry.cluster_trace import ClusterTracer
+    from vimg_tpu.render.wavefront import render_wavefront
+    from vimg_tpu.scene import ir
+    from vimg_tpu.scene.synthetic import textured_terrain_scene
+
+    scene = textured_terrain_scene(100_000, width=512, height=256)
+    st = ir.RenderSettings(width=512, height=256, spp=spp, max_depth=64,
+                           integrator="mis", batch_size=1 << 17)
+    total = st.width * st.height * st.spp
+    tracer = ClusterTracer(scene)
+    render_wavefront(scene, st, tracer=tracer)
+    t0 = time.time()
+    render_wavefront(scene, st, tracer=tracer)
+    dt = time.time() - t0
+    # statues class baseline: 6.5 Mpaths/s (README.md:90, BASELINE.md)
+    return {"envtex_paths_per_s": round(total / dt, 1),
+            "envtex_vs_statues_baseline": round(total / dt / 6.5e6, 4)}
 
 
 if __name__ == "__main__":

@@ -342,7 +342,7 @@ class ClusterData:
 
 def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                        count_stats=False, mode="stream", walk_batch=4,
-                       group_gate=True):
+                       group_gate=True, walks=1):
     """One kernel instance per RAY TILE; the traversal is an in-kernel
     scalar while_loop over the cluster tree (preorder + skip links, all
     metadata in SMEM): dense slab test of the tile vs the node AABB,
@@ -405,10 +405,17 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
             return functools.reduce(jnp.logical_or, xs)
 
         def cond(carry):
-            return carry[0] < n_nodes
+            return _or([nn < n_nodes for nn in carry[0]])
 
-        def step(carry):
-            n0, bts0, codes0, bus0, bvs0, nv, nl = carry
+        def step(n0, gset, state):
+            """One node visit of the walk owning row groups ``gset``.
+            With walks > 1 the block's groups are partitioned into
+            independent walks whose serial chains (slab -> reduce ->
+            scalar decide -> SMEM read) interleave in the instruction
+            stream — each walk's scalar round-trip hides behind the
+            others' vector work (the per-visit cost is latency-bound,
+            ~3.3 us at rows=32, r3_probe_h)."""
+            bts0, codes0, bus0, bvs0, nv, nl = state
             # with walk_batch > 1 a step may run past the walk's end:
             # clamp reads and no-op via ``valid``
             valid = n0 < n_nodes
@@ -445,8 +452,8 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
             bxh = aabb_ref[arow, acol + 3]
             byh = aabb_ref[arow, acol + 4]
             bzh = aabb_ref[arow, acol + 5]
-            lives = []
-            for g in range(n_groups):
+            lives = {}
+            for g in gset:
                 t0x = (bxl - oxs[g]) * idxs[g]
                 t1x = (bxh - oxs[g]) * idxs[g]
                 t0y = (byl - oys[g]) * idys[g]
@@ -464,8 +471,8 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                 lv = tin <= tout
                 if any_hit:
                     lv = lv & (bts0[g] > -jnp.inf)
-                lives.append(lv)
-            any_live = _or([jnp.any(lv) for lv in lives]) & valid
+                lives[g] = lv
+            any_live = _or([jnp.any(lives[g]) for g in gset]) & valid
             if mode == "stream":
                 dma.wait()
 
@@ -540,8 +547,8 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                         shx, shy, shz = (tconst(2 * s + 1, 13),
                                          tconst(2 * s + 1, 14),
                                          tconst(2 * s + 1, 15))
-                        row = []
-                        for g in range(n_groups):
+                        row = {}
+                        for g in gset:
                             s0x = (slx - oxs[g]) * idxs[g]
                             s1x = (shx - oxs[g]) * idxs[g]
                             s0y = (sly - oys[g]) * idys[g]
@@ -558,17 +565,18 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                                             jnp.maximum(s0y, s1y)),
                                 jnp.minimum(jnp.maximum(s0z, s1z),
                                             bts_e[g]))
-                            row.append(lives[g] & (stin <= stout))
+                            row[g] = lives[g] & (stin <= stout)
                         masks.append(row)
-                ganys = [[jnp.any(m) for m in row] for row in masks]
+                ganys = [{g: jnp.any(row[g]) for g in gset}
+                         for row in masks]
 
                 for s in range(len(masks)):
                     def do_sub(c4, s=s):
                         consts = _read_tris(s * 16)
                         bts, codes, bus, bvs = map(list, c4)
-                        for g in range(n_groups):
+                        for g in gset:
                             cg = (bts[g], codes[g], bus[g], bvs[g])
-                            if n_groups > 1:
+                            if len(gset) > 1:
                                 cg = jax.lax.cond(
                                     ganys[s][g],
                                     functools.partial(_test_group, s * 16,
@@ -585,8 +593,9 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                     if len(masks) == 1:
                         carry4 = do_sub(carry4)
                     else:
-                        carry4 = jax.lax.cond(_or(ganys[s]), do_sub,
-                                              lambda c_: c_, carry4)
+                        carry4 = jax.lax.cond(
+                            _or([ganys[s][g] for g in gset]), do_sub,
+                            lambda c_: c_, carry4)
                 return carry4
 
             is_leaf = cid >= 0
@@ -599,23 +608,33 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                                  skip_ref[n // 128, n % 128]), n0)
             nv = nv + jnp.where(valid, 1.0, 0.0)
             nl = nl + jnp.where(any_live & is_leaf, 1.0, 0.0)
-            return n_next, bts, codes, bus, bvs, nv, nl
+            return n_next, (bts, codes, bus, bvs, nv, nl)
+
+        gsets = [list(range(w * n_groups // walks,
+                            (w + 1) * n_groups // walks))
+                 for w in range(walks)]
 
         def body(carry):
             # unroll walk_batch node steps per while iteration: the
             # data-dependent while cond costs ~0.4us per ITERATION on v5e
-            # (r3_probe_walkablate) regardless of body size
+            # (r3_probe_walkablate) regardless of body size. With
+            # walks > 1 the walks' steps interleave per batch slot.
+            ns = list(carry[0])
+            state = carry[1:]
             for _ in range(walk_batch):
-                carry = step(carry)
+                for w in range(walks):
+                    ns[w], state = step(ns[w], gsets[w], state)
             if any_hit:
-                # early out once every lane is occluded (per batch)
-                alive = _or([jnp.any(b > -jnp.inf) for b in carry[1]])
-                n_stop = jnp.where(alive, carry[0], n_nodes)
-                carry = (n_stop,) + carry[1:]
-            return carry
+                # early out once every lane of a walk is occluded
+                bts = state[0]
+                for w in range(walks):
+                    alive = _or([jnp.any(bts[g] > -jnp.inf)
+                                 for g in gsets[w]])
+                    ns[w] = jnp.where(alive, ns[w], n_nodes)
+            return (tuple(ns),) + state
 
         zg = jnp.zeros((R, 128), jnp.float32)
-        init = (jnp.int32(0),
+        init = (tuple(jnp.int32(0) for _ in range(walks)),
                 tuple(tmax_ref[s, :] for s in gsl),
                 tuple(zg - 1.0 for _ in range(n_groups)),
                 tuple(zg for _ in range(n_groups)),
@@ -639,9 +658,10 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
 @functools.lru_cache(maxsize=32)
 def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
                     interpret, count_stats=False, mode="stream",
-                    walk_batch=4, group_gate=True):
+                    walk_batch=4, group_gate=True, walks=1):
     kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
-                                count_stats, mode, walk_batch, group_gate)
+                                count_stats, mode, walk_batch, group_gate,
+                                walks)
     shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
 
     ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
@@ -739,7 +759,7 @@ class ClusterTracer:
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=None, sort_rays=True, sort_mode="origin",
-                 mode="auto", builder="auto", group_gate="auto"):
+                 mode="auto", builder="auto", group_gate="auto", walks=1):
         on_cpu = jax.default_backend() == "cpu"
         if tile_rows is None:
             # CPU runs the kernel interpreted (Python per grid step):
@@ -753,6 +773,15 @@ class ClusterTracer:
             # modes is exact (test_cluster_trace group-gate test)
             group_gate = not on_cpu
         self.group_gate = group_gate
+        # walks: partition each block's row groups into this many
+        # INDEPENDENT tree walks whose serial chains interleave in the
+        # instruction stream (latency hiding). Requires group gating and
+        # an even group split.
+        n_groups = tile_rows // 8 if (group_gate and tile_rows > 8) else 1
+        if walks < 1 or n_groups % walks:
+            raise ValueError(f"walks={walks} must evenly divide the "
+                             f"{n_groups} row groups")
+        self.walks = walks
         self.data = ClusterData(scene, max_k, builder=builder)
         if mode == "auto":
             fits = self.data.tri_rows.nbytes <= self.RESIDENT_BUDGET_BYTES
@@ -803,7 +832,8 @@ class ClusterTracer:
         interpret = jax.default_backend() == "cpu"
         fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
                              self.tile_rows, any_hit, interpret, count_stats,
-                             self.mode, group_gate=self.group_gate)
+                             self.mode, group_gate=self.group_gate,
+                             walks=self.walks)
         # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
         # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]

@@ -222,13 +222,19 @@ def _cull_meta(ro, rd, mn, mx, cl_lo, cl_hi, cp, pi=None,
     shift = (1 << jnp.arange(N_PACKETS, dtype=jnp.int32))[None, :, None]
     pmask = jnp.sum(pbits * shift, axis=1)           # (W, C)
 
+    wmask = pmask > 0
     if pi is not None:
+        # entry distances must be SUFFIX MINIMA over the remaining chain:
+        # the ordered DFS is only locally near-first (a deep near-subtree
+        # leaf can sit beyond a shallow far-subtree one), so the sound
+        # early-exit bound is min over every candidate still ahead
         entry = jnp.concatenate(entries, axis=1)     # (W, C)
         eq = jnp.clip(entry * entry_scale, 0.0, 2.0 ** 30).astype(jnp.int32)
+        eq = jnp.where(wmask, eq, 1 << 30)
+        eq = jax.lax.cummin(eq, axis=1, reverse=True)
         extra[3] = jnp.pad(eq, ((0, 0), (0, cp - C)),
                            constant_values=(1 << 30))
         extra[4] = jnp.pad(idx, ((0, 0), (0, cp - C)))
-    wmask = pmask > 0
 
     cidx = jnp.arange(C, dtype=jnp.int32)[None, :]
     sentinel = jnp.int32(cp - 1)
@@ -516,8 +522,8 @@ class PacketTracer:
     VMEM_BUDGET_BYTES = 10 * 2 ** 20
 
     def __init__(self, scene: ir.Scene, max_k=PACK_K, sort_rays=True,
-                 sort_mode="origin", builder="auto", variant="f2b",
-                 unroll=8):
+                 sort_mode="origin", builder="auto", variant="slist",
+                 unroll=4):
         self.data = PacketData(scene, max_k=max_k, builder=builder)
         if self.data.tri_rows_t.nbytes > self.VMEM_BUDGET_BYTES:
             raise ValueError(

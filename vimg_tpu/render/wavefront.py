@@ -46,7 +46,9 @@ _dt = jax.lax.stop_gradient
 
 # lane-count sweep on v5e (disney_spheres, 32spp): per-segment cost grows
 # superlinearly with lane count (scatter/cumsum machinery): 128k lanes ->
-# 5.3 Mpaths/s, 512k -> 4.6, 1M -> 3.9, 2M -> 2.7. 128k is the sweet spot.
+# 5.3 Mpaths/s, 512k -> 4.6, 1M -> 3.9, 2M -> 2.7. 128k is the sweet spot
+# default; settings.batch_size overrides in either direction (mesh scenes
+# amortize sort/dispatch better at larger batches — r4_batch_sweep).
 MAX_LANES = 1 << 17
 
 
@@ -403,7 +405,13 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
     tracer = tracer or make_tracer(scene)
     W, H, spp = settings.width, settings.height, settings.spp
     total = W * H * spp
-    B = min(settings.batch_size, MAX_LANES, max(total // 2, 1024))
+    # an explicit batch_size is authoritative (mesh benches go past the
+    # 128k analytic sweet spot); the dataclass default gets the MAX_LANES
+    # cap from the round-1 lane sweep
+    cap = settings.batch_size
+    if cap == ir.RenderSettings.batch_size:
+        cap = MAX_LANES
+    B = min(cap, max(total // 2, 1024))
 
     state = init_state(B)
     state["samp_off"] = jnp.int32(sample_offset)
