@@ -125,14 +125,20 @@ def bench_mesh(n_tris=100_000, spp=64):
         "mesh_vs_matpreview_baseline": round(
             mpaths / MESH_BASELINE_PATHS_PER_S, 3),
     }
-    try:
-        out.update(bench_mesh_500k())
-    except Exception as e:  # pragma: no cover
-        out["mesh500k_error"] = f"{type(e).__name__}: {e}"[:160]
-    try:
-        out.update(bench_envtex())
-    except Exception as e:  # pragma: no cover
-        out["envtex_error"] = f"{type(e).__name__}: {e}"[:160]
+    # the 500k/env-tex stages compile multi-minute wavefront graphs (the
+    # textured superstep alone took >10 min cold on 2026-08-20) — opt-in
+    # so the driver's bench line never times out; round-3/4 measurements
+    # for these classes live in bench_records (r3_probe_e envtex 0.292
+    # Mpaths/s; streamed 500k 0.128 Mpaths/s, r3 session log)
+    if os.environ.get("VIMG_BENCH_EXTRA"):
+        try:
+            out.update(bench_mesh_500k())
+        except Exception as e:  # pragma: no cover
+            out["mesh500k_error"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            out.update(bench_envtex())
+        except Exception as e:  # pragma: no cover
+            out["envtex_error"] = f"{type(e).__name__}: {e}"[:160]
     return out
 
 

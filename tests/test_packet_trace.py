@@ -67,8 +67,9 @@ def test_cluster_walks_partition_exact(small_mesh):
     maxT = jnp.full((B,), jnp.inf)
     # group_gate defaults off on CPU (interpret speed); walks needs the
     # per-group partition, so force it on for both sides of the compare
-    c1 = ClusterTracer(scene, group_gate=True)
-    c2 = ClusterTracer(scene, group_gate=True, walks=2)
+    # (tile_rows=16 keeps the interpreted per-group python cost small)
+    c1 = ClusterTracer(scene, group_gate=True, tile_rows=16)
+    c2 = ClusterTracer(scene, group_gate=True, tile_rows=16, walks=2)
     h1 = c1.closest(scene, ro, rd, minT, maxT)
     h2 = c2.closest(scene, ro, rd, minT, maxT)
     assert bool(jnp.all(h1.t == h2.t))

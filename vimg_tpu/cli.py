@@ -38,6 +38,9 @@ def build_argparser():
     p.add_argument("--integrator", default=None,
                    choices=["s_normal", "g_normal", "material", "mis"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--trace", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler device trace of the "
+                        "render into LOGDIR (view with xprof/TensorBoard)")
     return p
 
 
@@ -135,11 +138,26 @@ def main(argv=None):
             print("note: -b 1 (sweep SAH) only affects the wavefront/BVH "
                   "paths; this render takes the megakernel (binned-SAH "
                   "cluster tables)")
+    if args.trace:
+        # warm once outside the trace so the capture shows steady-state
+        # kernels, not compiles (SURVEY §5 tracing/profiling)
+        import contextlib
+
+        from vimg_tpu.utils.profiling import device_trace
+        render_frame(scene, settings, tracer_force=force)
+        trace_cm = device_trace(args.trace)
+    else:
+        import contextlib
+        trace_cm = contextlib.nullcontext()
     t0 = time.time()
-    img = render_frame(scene, settings, tracer_force=force, progress=True)
+    with trace_cm:
+        img = render_frame(scene, settings, tracer_force=force,
+                           progress=True)
     dt = time.time() - t0
     n_paths = settings.width * settings.height * settings.spp
     print(f"Render took {dt:.2f}s ({n_paths / dt / 1e6:.2f} Mpaths/s)")
+    if args.trace:
+        print(f"Device trace captured to {args.trace}")
 
     import jax.numpy as jnp
     out_img = film.finalize(jnp.asarray(img), tonemap=settings.tonemap)
