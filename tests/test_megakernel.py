@@ -355,10 +355,11 @@ class TestSharded:
 
 class TestManyMaterials:
     def test_many_material_scene_routes_to_wavefront(self):
-        """Scenes past MEGA_MAX_MATERIALS route off the megakernel: its
-        per-lane material resolution is an O(n_mats) select chain per
-        bounce, while the wavefront's is one jnp.take (flat in n_mats —
-        r3_probe_c: 0.1-1.3 ns/row). A 128-material mesh scene must (a)
+        """Scenes past MEGA_MAX_MATERIALS (256 since round 4 — the
+        measured select-chain slope stays minor vs the mesh walk,
+        bench_records/r4_many_mats.json) route off the megakernel to the
+        wavefront, whose per-lane fetch is one jnp.take (flat in n_mats —
+        r3_probe_c: 0.1-1.3 ns/row). A 300-material mesh scene must (a)
         be rejected by supports_megakernel and (b) render correctly
         through the wavefront (reference gltf_loading.cpp:547-690
         converts real scenes to hundreds of Principled materials)."""
@@ -383,13 +384,15 @@ class TestManyMaterials:
                                         ir.MS_SUBSURFACE: 0.2,
                                         ir.MS_SHEEN_TINT: 0.5,
                                         ir.MS_CLEARCOAT_GLOSS: 0.5})
-                for _ in range(127)]
+                for _ in range(299)]
         light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(12.0, 12.0, 12.0))
-        # split the mesh across the 127 materials
+        # split the mesh across the 299 materials
         n = len(tris)
-        step = max(n // 127, 1)
-        for i in range(127):
-            sl = tris[i * step:(i + 1) * step] if i < 126 else tris[126 * step:]
+        nm = len(mats)
+        step = max(n // nm, 1)
+        for i in range(nm):
+            sl = (tris[i * step:(i + 1) * step] if i < nm - 1
+                  else tris[(nm - 1) * step:])
             if len(sl):
                 b.add_mesh(verts, sl, mats[i])
         lv = np.array([[-0.6, 2.4, -0.6], [0.6, 2.4, -0.6],
@@ -400,7 +403,32 @@ class TestManyMaterials:
         scene = b.build(camera=cam, bg_color=(0.05, 0.06, 0.08))
         st = ir.RenderSettings(width=48, height=24, spp=2, max_depth=4,
                                integrator="mis", batch_size=1 << 12)
-        assert scene.mat_type.shape[0] == 128
+        assert scene.mat_type.shape[0] == 300
         assert not supports_megakernel(scene, st)
         img = render_wavefront(scene, st)
         assert np.isfinite(img).all() and float(np.asarray(img).mean()) > 0
+
+
+def test_many_materials_mesh_parity():
+    """glTF-scale material counts (> the old 48 cap) stay estimator-
+    identical between the mesh megakernel and the wavefront: the
+    per-lane select chain must resolve all 129 materials correctly."""
+    from vimg_tpu.scene.synthetic import multi_material_terrain_scene
+
+    scene = multi_material_terrain_scene(1500, 96, width=64, height=32)
+    assert scene.n_mats() > 48
+    st = ir.RenderSettings(width=64, height=32, spp=4, max_depth=6,
+                           integrator="mis", batch_size=1 << 12)
+    assert supports_megakernel(scene, st)
+    ref = render_wavefront(scene, st, tracer=make_tracer(scene))
+    img = render_megakernel(scene, st, rows=8)
+    assert np.isfinite(img).all()
+    # statistical parity, bounds as test_mesh_megakernel_parity (the
+    # kernel/XLA hit-point construction differs by ~1e-7, flipping rare
+    # epsilon races; 96 material stripes = more boundaries than the
+    # single-material scenes, hence the slightly wider mean bound)
+    d = np.abs(ref - img)
+    assert d.mean() < 3e-4
+    assert (d.max(-1) > 1e-5).mean() < 0.02
+    assert np.corrcoef(np.asarray(ref).ravel(),
+                       np.asarray(img).ravel())[0, 1] > 0.999

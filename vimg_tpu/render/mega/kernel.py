@@ -60,12 +60,17 @@ MESH_MEGA_MAX_TRIS = 2_000_000
 _FORCE_STREAM = False        # test hook: stream even below the budget
 
 # Per-lane material params resolve via static select chains (gather_mat):
-# O(n_mats) VPU work per bounce. Fine for authored scenes (<= a few dozen
-# materials); real glTF scenes carry hundreds — those route to the XLA
-# wavefront, whose per-lane material fetch is one jnp.take (measured
-# 0.1-1.3 ns/row, bench_records/r3_probe_c.json) and therefore flat in
-# n_mats. Same treatment as lights.
-MEGA_MAX_MATERIALS = 48
+# O(n_mats) VPU work per bounce (1 compare + up to 15 selects per
+# material). Measured slope on the 100k-tri terrain at glTF scale
+# (bench_records/r4_many_mats.json): the chain stays a minor fraction of
+# the mesh walk per bounce, so the cap sits at 256 — covering real glTF
+# conversions (reference turns every material into Principled,
+# gltf_loading.cpp:547-690) — before routing to the XLA wavefront, whose
+# per-lane fetch is one jnp.take (0.1-1.3 ns/row, r3_probe_c) and flat
+# in n_mats. The O(1)-in-n alternative (exact one-hot MXU gathers,
+# ops/mxu_gather.py, probe-validated bit-exact on-chip) is queued for the
+# inner loop once dot-kernel compile times are workable (~9 min cold).
+MEGA_MAX_MATERIALS = 256
 MEGA_MAX_LIGHTS = 48
 
 

@@ -186,3 +186,41 @@ def textured_terrain_scene(n_tris=100_000, width=512, height=256, seed=0,
                    atlas=dict(atlas=jnp.asarray(atlas_arr),
                               atlas_meta=jnp.asarray(atlas_meta)),
                    bg_light=bg_light)
+
+
+def multi_material_terrain_scene(n_tris=100_000, n_mats=128, width=512,
+                                 height=256, seed=0):
+    """Terrain with ``n_mats`` distinct Principled materials striped
+    across the mesh — the glTF-scale material-count workload (the
+    reference converts every glTF material to Principled,
+    gltf_loading.cpp:547-690; real scenes carry hundreds). Exercises the
+    megakernel's per-lane material resolution at scale."""
+    rs = np.random.RandomState(seed + 11)
+    verts, tris = terrain_mesh(n_tris, seed)
+    b = SceneBuilder()
+    mats = []
+    for k in range(n_mats):
+        base = tuple(0.2 + 0.7 * rs.rand(3))
+        mats.append(b.add_material(
+            ir.MAT_PRINCIPLED, base=base,
+            scalars={ir.MS_IOR: 1.5,
+                     ir.MS_SPECULAR: float(rs.rand()),
+                     ir.MS_SPEC_TINT: 0.0,
+                     ir.MS_SUBSURFACE: 0.0,
+                     ir.MS_SHEEN_TINT: 0.5,
+                     ir.MS_CLEARCOAT_GLOSS: 0.5,
+                     ir.MS_METALLIC: float(0.8 * rs.rand()),
+                     ir.MS_ROUGHNESS: float(0.15 + 0.8 * rs.rand())}))
+    # stripe materials over contiguous tri chunks
+    order = np.argsort(tris[:, 0], kind="stable")
+    chunks = np.array_split(order, n_mats)
+    for k, ch in enumerate(chunks):
+        if len(ch):
+            b.add_mesh(verts, tris[ch], mats[k])
+    light = b.add_material(ir.MAT_DIFFUSE_LIGHT, base=(14.0, 13.5, 12.0))
+    lv = np.array([[-1.2, 4.0, -1.2], [1.2, 4.0, -1.2],
+                   [1.2, 4.0, 1.2], [-1.2, 4.0, 1.2]], np.float32)
+    b.add_mesh(lv, np.array([[0, 1, 2], [0, 2, 3]]), light)
+    cam = Camera.make(look_at([0.0, 2.2, 4.6], [0.0, 0.0, 0.0],
+                              [0.0, 1.0, 0.0]), width, height, 45.0)
+    return b.build(camera=cam, bg_color=(0.25, 0.3, 0.38))
