@@ -54,6 +54,13 @@ def make_tracer(scene: ir.Scene, force=None, differentiable=False):
         return SoATracer(scene)
     if force == "bvh":
         return BVHTracer_lazy(scene, None)
+    if force == "packet":
+        # ray-packet mesh backend (8 sorted rays x 128 cluster tris per
+        # VPU op): exact-parity alternative to the cluster walk, measured
+        # slower e2e on the round-4 workloads (ROADMAP round-4 findings)
+        # — opt-in for workloads/toolchains where the trade flips
+        from vimg_tpu.geometry.packet_trace import PacketTracer
+        return PacketTracer(scene)
     if force == "cluster" or (force is None
                               and scene.n_tris() > 0
                               # unrolled per-sphere merge: gate like the
