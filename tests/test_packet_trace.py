@@ -16,9 +16,11 @@ from vimg_tpu.scene.synthetic import terrain_scene
 
 @pytest.fixture(scope="module")
 def small_mesh():
-    scene = terrain_scene(700, width=32, height=16)
+    # interpret-mode kernel cost scales with B x clusters x variants —
+    # keep this tight so the suite stays within its CI budget
+    scene = terrain_scene(450, width=32, height=16)
     rs = np.random.RandomState(3)
-    B = 256
+    B = 128
     lo = np.asarray(scene.verts).min(0)
     hi = np.asarray(scene.verts).max(0)
     ro = jnp.asarray(lo + rs.rand(B, 3) * (hi - lo)
