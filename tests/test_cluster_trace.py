@@ -128,6 +128,36 @@ class TestClusterTracer:
         # epsilon races — compare statistically
         assert np.abs(img_c - img_b).mean() < 5e-3
 
+    def test_prepass_render_parity(self, monkeypatch):
+        """Primary pre-pass == plain wavefront, same estimator and RNG.
+        Not bit-exact: camera-ray generation is only ulp-reproducible
+        across jit contexts (the pre-pass chunk vs the refill), so rare
+        silhouette samples can flip — parity is statistical with tight
+        bounds (the megakernel-parity pattern)."""
+        from vimg_tpu.render.wavefront import render_wavefront
+        from vimg_tpu.scene.synthetic import terrain_scene
+
+        scene = terrain_scene(600, width=24, height=16)
+        st = ir.RenderSettings(width=24, height=16, spp=6, max_depth=6,
+                               integrator="mis", batch_size=1 << 10)
+        tr = ClusterTracer(scene)
+        monkeypatch.setenv("VIMG_NO_PREPASS", "1")
+        img_off, stats_off = render_wavefront(scene, st, tracer=tr,
+                                              return_stats=True)
+        monkeypatch.delenv("VIMG_NO_PREPASS")
+        img_on, stats_on = render_wavefront(scene, st, tracer=tr,
+                                            return_stats=True)
+        assert stats_on["prepass_seconds"] > 0.0
+        assert stats_off["prepass_seconds"] == 0.0
+        assert stats_on["supersteps"] == stats_off["supersteps"]
+        assert abs(stats_on["segments"] - stats_off["segments"]) \
+            <= 0.001 * stats_off["segments"]
+        assert np.isfinite(img_on).all()
+        d = np.abs(img_on - img_off)
+        assert d.mean() < 1e-4, d.mean()
+        assert (d.max(-1) > 1e-5).mean() < 0.01
+        assert np.corrcoef(img_on.ravel(), img_off.ravel())[0, 1] > 0.999
+
     def test_group_gate_parity(self):
         """The TPU production config (per-row-group gated tri tests,
         wide tiles) is bit-equal to the ungated walk: row-group culling

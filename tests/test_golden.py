@@ -52,12 +52,14 @@ def test_mis_golden(scene_name, ref_name):
     ours = np.asarray(film.srgb_encode(jnp.asarray(img)))
     golden = _load_golden(ref_name, w, h)
 
-    # downsampled golden vs our render: direct-light scene, tight stats
+    # downsampled golden vs our render: direct-light scene, tight stats.
+    # Bounds set at ~1.5x the round-5 measured values (mean_abs max
+    # 0.0082, corr min 0.9918 across the three scenes) per VERDICT r4 #8
     diff = np.abs(ours - golden)
-    assert diff.mean() < 0.06, diff.mean()
+    assert diff.mean() < 0.013, diff.mean()
     # structural agreement (the lit sphere/plane pattern)
     corr = np.corrcoef(ours.mean(-1).ravel(), golden.mean(-1).ravel())[0, 1]
-    assert corr > 0.97, corr
+    assert corr > 0.985, corr
 
 
 def test_disney_spheres_agx_golden():
@@ -87,7 +89,9 @@ def test_disney_spheres_agx_golden():
     golden = np.asarray(
         Image.open(ref_png).convert("RGB").resize((w, h), Image.BILINEAR),
         np.float32) / 255.0
+    # bounds ~1.5x the round-5 measured values (mean_abs 0.0296,
+    # corr 0.9771 at this spp/resolution)
     diff = np.abs(ours - golden)
-    assert diff.mean() < 0.08, diff.mean()
+    assert diff.mean() < 0.045, diff.mean()
     corr = np.corrcoef(ours.mean(-1).ravel(), golden.mean(-1).ravel())[0, 1]
-    assert corr > 0.95, corr
+    assert corr > 0.965, corr

@@ -4,10 +4,23 @@ The packet kernel is an alternative TPU mesh backend (8 sorted rays per
 packet x 128 cluster tris per VPU op; see geometry/packet_trace.py). It
 must produce the SAME hits as the cluster walk: same SAH tree, same
 treelet cut, same watertight-constants formulation.
+
+The bake-off is decided (the cluster walk won, ROADMAP round-4 notes),
+so only the slist closest/occluded pair runs as a default smoke test;
+the f2b variant and the interleaved-walks partition check are nightly
+(VIMG_SLOW_TESTS=1) — interpret-mode packet fixtures cost minutes each
+and the backends they pin are non-production.
 """
+import os
+
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+nightly = pytest.mark.skipif(
+    not os.environ.get("VIMG_SLOW_TESTS"),
+    reason="nightly parity fixture for a non-production backend "
+           "(set VIMG_SLOW_TESTS=1)")
 
 from vimg_tpu.geometry.cluster_trace import ClusterTracer
 from vimg_tpu.geometry.packet_trace import PacketTracer
@@ -30,7 +43,7 @@ def small_mesh():
     return scene, ro, jnp.asarray(rd, jnp.float32)
 
 
-@pytest.mark.parametrize("variant", ["slist", "f2b"])
+@pytest.mark.parametrize("variant", ["slist", pytest.param("f2b", marks=nightly)])
 def test_closest_parity(small_mesh, variant):
     scene, ro, rd = small_mesh
     B = ro.shape[0]
@@ -48,7 +61,7 @@ def test_closest_parity(small_mesh, variant):
     assert float(jnp.max(jnp.where(hit, jnp.abs(hp.v - hc.v), 0.0))) < 1e-4
 
 
-@pytest.mark.parametrize("variant", ["slist", "f2b"])
+@pytest.mark.parametrize("variant", ["slist", pytest.param("f2b", marks=nightly)])
 def test_occluded_parity(small_mesh, variant):
     scene, ro, rd = small_mesh
     B = ro.shape[0]
@@ -60,6 +73,7 @@ def test_occluded_parity(small_mesh, variant):
     assert bool(jnp.all(oc == op))
 
 
+@nightly
 def test_cluster_walks_partition_exact(small_mesh):
     """walks=2 (interleaved independent tile walks) is bit-exact vs the
     single-walk kernel."""

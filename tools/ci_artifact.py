@@ -8,7 +8,11 @@ reduced spp on the megakernel, compares against
 /root/reference/renders/disney_spheres_agx_512.png, asserts
 correlation/PSNR floors (set ~1 dB under the measured value at this spp
 to catch regressions, not noise), and records everything in
-bench_records/r4_ci_artifact.json.
+bench_records/ci_artifact.json.
+
+Since round 5 this runs as part of every bench.py session (VERDICT
+round-4 #8), so each BENCH_r*.json carries parity_corr/parity_psnr/
+parity_pass alongside the throughput numbers.
 
 Usage: python tools/ci_artifact.py [spp]
 """
@@ -16,30 +20,30 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-SPP = int(sys.argv[1]) if len(sys.argv) > 1 else 192
-OUT = "/root/repo/bench_records/r4_ci_artifact.json"
+OUT = "/root/repo/bench_records/ci_artifact.json"
 REF_PNG = "/root/reference/renders/disney_spheres_agx_512.png"
 MIN_CORR = 0.990
 MIN_PSNR = 28.5
 
 
-def main():
-    import jax
+def run_check(spp=192, out=OUT):
+    """Render + compare + record. Returns the record dict (key ``pass``);
+    raises nothing on threshold failure — callers decide."""
     from PIL import Image
     from vimg_tpu.render.film import finalize
     from vimg_tpu.render.mega import render_megakernel
     from vimg_tpu.scene.json_loader import load_json_scene
 
-    print("backend:", jax.default_backend(), flush=True)
     scene, st = load_json_scene("/root/reference/scenes/disney_spheres.json")
-    st = dataclasses.replace(st, spp=SPP, tonemap="agx")
+    st = dataclasses.replace(st, spp=spp, tonemap="agx")
     t0 = time.time()
     img, stats = render_megakernel(scene, st, rows=32, return_stats=True)
     dt = time.time() - t0
@@ -53,19 +57,30 @@ def main():
     mse = float(((srgb - ref) ** 2).mean())
     psnr = float(10.0 * np.log10(1.0 / max(mse, 1e-12)))
 
-    rec = dict(spp=SPP, seconds=round(dt, 2),
-               mpaths=round(1800 * 800 * SPP / dt / 1e6, 1),
+    rec = dict(spp=spp, seconds=round(dt, 2),
+               mpaths=round(1800 * 800 * spp / dt / 1e6, 1),
                corr=round(corr, 5), psnr=round(psnr, 2),
                thresholds=dict(min_corr=MIN_CORR, min_psnr=MIN_PSNR))
+    rec["pass"] = bool(corr >= MIN_CORR and psnr >= MIN_PSNR)
+    if out:
+        with open(out, "w") as f:
+            json.dump(rec, f, indent=1)
+    return rec
+
+
+def main():
+    import jax
+    from vimg_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
+
+    print("backend:", jax.default_backend(), flush=True)
+    spp = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    rec = run_check(spp)
     print(json.dumps(rec), flush=True)
-    ok = corr >= MIN_CORR and psnr >= MIN_PSNR
-    rec["pass"] = bool(ok)
-    with open(OUT, "w") as f:
-        json.dump(rec, f, indent=1)
-    if not ok:
+    if not rec["pass"]:
         raise SystemExit(
-            f"CI artifact FAIL: corr {corr:.5f} (min {MIN_CORR}), "
-            f"psnr {psnr:.2f} (min {MIN_PSNR})")
+            f"CI artifact FAIL: corr {rec['corr']:.5f} (min {MIN_CORR}), "
+            f"psnr {rec['psnr']:.2f} (min {MIN_PSNR})")
     print("CI artifact PASS", flush=True)
 
 

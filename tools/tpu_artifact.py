@@ -130,7 +130,7 @@ def meshdiag(T=100_000, spp=4, W=512, H=256):
     wall = time.time() - t0
     total = W * H * spp
     RESULTS["meshdiag"] = dict(
-        tris=T, spp=spp, B_used=min(st.batch_size, 1 << 17),
+        tris=T, spp=spp, B_used=min(st.batch_size or (1 << 20), 1 << 17),
         closest_cold_s=round(cold, 1),
         closest_cam_s=round(closest_cam, 3),
         closest_bounce_s=round(closest_bounce, 3),

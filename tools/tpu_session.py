@@ -22,6 +22,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import numpy as np
 
+from vimg_tpu.utils.compcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 RESULTS = {}
 OUT = "/tmp/tpu_session.json"
 

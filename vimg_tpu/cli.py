@@ -66,6 +66,8 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    from vimg_tpu.utils.compcache import enable_compilation_cache
+    enable_compilation_cache()
 
     from vimg_tpu.geometry.trace import make_tracer
     from vimg_tpu.render import film

@@ -268,6 +268,7 @@ class ClusterData:
         # (C * max_k*16/128, 128) layout, row-major within each cluster
         self.tri_rows = tri_rows.reshape(C * (max_k * ROW16 // 128), 128)
         self.perm = perm
+        self.cl_len = lens.astype(np.int32)     # valid tris per cluster
         self.n_tris = T
 
         self.attr_rows = None
@@ -803,11 +804,13 @@ class ClusterTracer:
             self.sph_c = np.asarray(self.sph_c)
         # whole-call jit: a standalone (non-jitted) caller would otherwise
         # pay one tunnel round trip per eager op (~50 ms floor measured)
-        self._closest_jit = jax.jit(self._closest_impl)
-        self._occluded_jit = jax.jit(self._occluded_impl)
+        self._closest_jit = jax.jit(self._closest_impl,
+                                    static_argnames=("sort",))
+        self._occluded_jit = jax.jit(self._occluded_impl,
+                                     static_argnames=("sort",))
 
     def _run(self, nodes, tri_rows, ro, rd, minT, maxT, any_hit,
-             count_stats=False):
+             count_stats=False, sort=None):
         B = ro.shape[0]
         tile = self.tile_rows * 128
         n_pad = -(-B // tile) * tile
@@ -820,7 +823,13 @@ class ClusterTracer:
         # bounce rays (measured 5x on incoherent batches). perm is applied
         # with takes/scatters; per-ray results are order-independent (each
         # lane's hit state is private, culling is conservative).
-        do_sort = self.sort_rays and B > tile
+        # ``sort`` overrides the instance policy per call (static under
+        # jit): the wavefront's primary pre-pass feeds pixel-Morton-
+        # ordered camera rays that are already tile-coherent — re-sorting
+        # them costs the argsort+takes AND loses sub-pixel sample
+        # adjacency (camera rays share an origin, so the Morton key
+        # degenerates to direction octants).
+        do_sort = (self.sort_rays if sort is None else sort) and B > tile
         if do_sort:
             key = ray_sort_key(ro, rd, *self.bounds, mode=self.sort_mode)
             perm = jnp.argsort(key)
@@ -861,9 +870,10 @@ class ClusterTracer:
                           maxT, any_hit, count_stats=True)
         return np.asarray(st)
 
-    def _closest_impl(self, nodes, tri_rows, perm, ro, rd, minT, maxT):
+    def _closest_impl(self, nodes, tri_rows, perm, ro, rd, minT, maxT,
+                      sort=None):
         bt, code, bu, bv = self._run(nodes, tri_rows, ro, rd, minT, maxT,
-                                     any_hit=False)
+                                     any_hit=False, sort=sort)
         found = code >= 0.0
         slot = jnp.clip(code.astype(jnp.int32), 0, perm.shape[0] - 1)
         tri_id = perm[slot]               # one dense gather, per-hit only
@@ -879,8 +889,10 @@ class ClusterTracer:
             hr = self._merge_spheres(hr, ro, rd, minT, maxT)
         return hr
 
-    def _occluded_impl(self, nodes, tri_rows, ro, rd, minT, maxT):
-        bt, *_ = self._run(nodes, tri_rows, ro, rd, minT, maxT, any_hit=True)
+    def _occluded_impl(self, nodes, tri_rows, ro, rd, minT, maxT,
+                       sort=None):
+        bt, *_ = self._run(nodes, tri_rows, ro, rd, minT, maxT, any_hit=True,
+                           sort=sort)
         occ = bt == -jnp.inf
         if self.sph_c is not None:
             from vimg_tpu.geometry.soa_intersect import _trace_impl
@@ -897,16 +909,21 @@ class ClusterTracer:
     # camera/geometry gradients lose the (detached-by-design) hit-point
     # motion term that pure-XLA tracers happen to carry.
     differentiable = True
+    # closest/occluded accept a static ``sort`` override — the wavefront
+    # primary pre-pass feeds already-coherent batches with sort=False
+    presortable = True
 
-    def closest(self, scene, ro, rd, minT, maxT):
+    def closest(self, scene, ro, rd, minT, maxT, sort=None):
         dt = jax.lax.stop_gradient
         return self._closest_jit(self.node_tables, self.tri_rows, self.perm,
-                                 dt(ro), dt(rd), dt(minT), dt(maxT))
+                                 dt(ro), dt(rd), dt(minT), dt(maxT),
+                                 sort=sort)
 
-    def occluded(self, scene, ro, rd, minT, maxT):
+    def occluded(self, scene, ro, rd, minT, maxT, sort=None):
         dt = jax.lax.stop_gradient
         return self._occluded_jit(self.node_tables, self.tri_rows,
-                                  dt(ro), dt(rd), dt(minT), dt(maxT))
+                                  dt(ro), dt(rd), dt(minT), dt(maxT),
+                                  sort=sort)
 
     def _merge_spheres(self, hr, ro, rd, minT, maxT):
         from vimg_tpu.geometry.soa_intersect import _trace_impl

@@ -96,10 +96,16 @@ class PacketData:
         bmin = p.min(axis=1)
         bmax = p.max(axis=1)
         ids = base.perm.reshape(C, max_k)
-        # padding lanes repeat a valid id (ClusterData packs min(start+k,
-        # end-1)); the repeated tri only loosens nothing
-        self.cl_lo = bmin[ids].min(axis=1).astype(np.float32)
-        self.cl_hi = bmax[ids].max(axis=1).astype(np.float32)
+        # padding lanes hold tri id 0 (ClusterData zeroes invalid slots) —
+        # mask them out of the union or every partially-filled cluster's
+        # AABB absorbs triangle 0's box (conservative but it inflates the
+        # XLA cull's candidate chains and weakens f2b entry distances;
+        # ADVICE round 4)
+        valid = np.arange(max_k)[None, :] < base.cl_len[:, None]
+        self.cl_lo = np.where(valid[..., None], bmin[ids],
+                              np.inf).min(axis=1).astype(np.float32)
+        self.cl_hi = np.where(valid[..., None], bmax[ids],
+                              -np.inf).max(axis=1).astype(np.float32)
         # cluster-tree tables for the near-first orderings
         M = base.n_nodes
         self._t_cid = np.asarray(base.node_cid).reshape(-1)[:M]

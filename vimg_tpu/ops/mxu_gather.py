@@ -36,8 +36,16 @@ import numpy as np
 def split3(table):
     """f32 table -> three bf16 tables whose (exact, f32) sum is the
     original: hi = bf16(v), mid = bf16(v - hi), lo = bf16(v - hi - mid).
-    24 mantissa bits total, so v - hi - mid - lo == 0 for finite f32."""
+    24 mantissa bits total, so v - hi - mid - lo == 0 — for values whose
+    residual exponents stay representable in bf16: exact for |v| = 0 or
+    |v| >= 2^-109 (residuals then sit above bf16's smallest subnormal
+    2^-133); f32 values nearer the subnormal floor reconstruct only
+    approximately. Material/light/camera tables are far inside the exact
+    range; asserted below so a misuse fails loudly."""
     t = np.asarray(table, np.float32)
+    a = np.abs(t)
+    assert bool(((a == 0) | (a >= 2.0 ** -109)).all()), \
+        "split3: values in (0, 2^-109) lose bits in the bf16 residuals"
     hi = t.astype(jnp.bfloat16)
     r1 = t - np.asarray(hi, np.float32)
     mid = r1.astype(jnp.bfloat16)

@@ -56,7 +56,7 @@ def render_sharded(scene: ir.Scene, settings: ir.RenderSettings, tracer,
     n_dev = mesh.size
     W, H, spp = settings.width, settings.height, settings.spp
     total = W * H * spp
-    B = min(settings.batch_size, total)
+    B = min(settings.batch_size or (1 << 20), total)
     B = ((B + n_dev - 1) // n_dev) * n_dev
     trace = sharded_trace_fn(scene, settings, tracer, mesh,
                              integrator=integrator)

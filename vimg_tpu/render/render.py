@@ -64,7 +64,7 @@ def render(scene: ir.Scene, settings: ir.RenderSettings, tracer=None,
     tracer = tracer or make_tracer(scene)
 
     total = W * H * spp
-    B = min(settings.batch_size, total)
+    B = min(settings.batch_size or (1 << 20), total)
     n_chunks = (total + B - 1) // B
     chunk_step = _cached_chunk_step(settings, tracer, integrator, B, total)
 

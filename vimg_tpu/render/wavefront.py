@@ -48,11 +48,43 @@ _dt = jax.lax.stop_gradient
 # superlinearly with lane count (scatter/cumsum machinery): 128k lanes ->
 # 5.3 Mpaths/s, 512k -> 4.6, 1M -> 3.9, 2M -> 2.7. 128k is the sweet spot
 # default; settings.batch_size overrides in either direction (mesh scenes
-# amortize sort/dispatch better at larger batches — r4_batch_sweep).
+# amortize sort/dispatch better at larger batches — round-4 batch sweep,
+# summarized in ROADMAP.md round-4 notes item 3).
 MAX_LANES = 1 << 17
 
+# primary pre-pass table cap: 52 B/path (first hit + camera ray + cone);
+# 2^23 paths = 436 MB HBM. Bigger frames fall back to in-superstep
+# primary tracing (or render in sample slabs).
+PREPASS_MAX_TOTAL = 1 << 23
 
-def init_state(B):
+
+def morton_pixel_order(W, H):
+    """Pixel ids (y*W + x) in Morton (Z-curve) order — the wavefront's
+    work-dispensing order. The refill hands out (pixel, sample) work by a
+    global counter; in raster order the in-flight set is a thin full-width
+    strip, in Morton order it is a compact 2D block, so every downstream
+    coherence mechanism (per-trace Morton sorts, tile unions in the
+    cluster walk) sees a spatially tighter ray population. The TPU
+    analogue of the reference's 8x8 tile work list (integrators.h:57-65)
+    at frame scale."""
+    xs = np.arange(W, dtype=np.uint32)
+    ys = np.arange(H, dtype=np.uint32)
+    X, Y = np.meshgrid(xs, ys)                 # (H, W)
+
+    def spread(v):
+        v = (v | (v << 8)) & np.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & np.uint32(0x33333333)
+        v = (v | (v << 1)) & np.uint32(0x55555555)
+        return v
+
+    code = (spread(X) << np.uint32(1)) | spread(Y)
+    pid = (Y.astype(np.int64) * W + X).ravel()
+    order = np.argsort(code.ravel(), kind="stable")
+    return pid[order].astype(np.int32)
+
+
+def init_state(B, prepass=False):
     # NB: every field gets its OWN buffer (donation forbids aliased args)
     def z():
         return jnp.zeros((B,), jnp.float32)
@@ -66,7 +98,15 @@ def init_state(B):
     def zb():
         return jnp.zeros((B,), bool)
 
+    extra = {}
+    if prepass:
+        # pre-traced first hit of the lane's pending camera ray (valid
+        # only while ``fresh``) — gathered from the pre-pass table at
+        # refill, consumed instead of tracing in the superstep
+        extra = dict(pre_t=z(), pre_ptype=zi(), pre_pid=zi(),
+                     pre_u=z(), pre_v=z())
     return dict(
+        **extra,
         # lane bookkeeping
         alive=zb(),                # lane holds an in-flight path
         pix=zi(), samp=zi(), d=zi(),
@@ -89,19 +129,28 @@ def init_state(B):
 
 
 def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
-                   total_paths: int, ablate=frozenset()):
-    """Returns jitted superstep(state, accum) -> (state, accum).
+                   total_paths: int, ablate=frozenset(),
+                   use_morton=False, use_prepass=False):
+    """Returns superstep(state, accum, aux=None) -> (state, accum).
 
     ``ablate`` is a perf-diagnosis hook (tools/ablate_superstep.py): a set of
     stage names whose work is replaced by cheap stand-ins so on-chip timing
     isolates each stage's cost. Production callers leave it empty. Keys:
     film, cumsum, nee, shadow, beval, bsample, trace, hitinfo.
+
+    ``use_morton``: work ids map to pixels through ``aux["morton_pix"]``
+    (see morton_pixel_order) instead of raster order.
+    ``use_prepass``: fresh lanes consume first hits from the pre-pass
+    table ``aux["pre_*"]`` instead of tracing their camera ray — the
+    superstep's closest trace then only carries bounce rays (the round-4
+    headroom item (c): primaries are tile-coherent and cheap in a
+    dedicated pass; see trace_primaries).
     """
     ab = frozenset(ablate)
     spp = settings.spp
     n_lights = scene.n_lights()
 
-    def refill(s, accum, finished):
+    def refill(s, accum, finished, aux):
         """Retire finished lanes (scatter-add to film) and pull new work.
 
         The film is (3, H*W): per-channel 1-D scatter-adds. Profiling showed
@@ -126,16 +175,36 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         take = free & (new_k < total_paths)
         next_work = s["next_work"] + jnp.sum(take, dtype=jnp.int32)
 
-        new_pix = jnp.where(take, (new_k // spp).astype(jnp.int32), s["pix"])
+        safe_k = jnp.where(take, new_k, 0)
+        if use_morton:
+            raw_pix = aux["morton_pix"][safe_k // spp]
+        else:
+            raw_pix = (safe_k // spp).astype(jnp.int32)
+        new_pix = jnp.where(take, raw_pix, s["pix"])
         new_samp = jnp.where(take,
                              (new_k % spp).astype(jnp.int32) + s["samp_off"],
                              s["samp"])
-        ro, rd, cw, cs = _primary_rays(scene, settings, new_pix, new_samp)
+        pre = {}
+        if use_prepass:
+            # the stored camera ray (not a recomputation: ray generation
+            # is only ulp-reproducible across jit contexts, and hit &
+            # shading must see the SAME ray)
+            ro = aux["pre_ro"][safe_k]
+            rd = aux["pre_rd"][safe_k]
+            cw = aux["pre_cw"][safe_k]
+            cs = aux["pre_cs"][safe_k]
+            pre = {f: jnp.where(take, aux[f][safe_k], s[f])
+                   for f in ("pre_t", "pre_ptype", "pre_pid",
+                             "pre_u", "pre_v")}
+        else:
+            ro, rd, cw, cs = _primary_rays(scene, settings, new_pix,
+                                           new_samp)
 
         m = take[:, None]
         z = jnp.zeros_like(s["cone_w"])
         s = dict(
             s,
+            **pre,
             alive=(s["alive"] & ~finished) | take,
             pix=new_pix, samp=new_samp,
             d=jnp.where(take, 0, s["d"]),
@@ -154,7 +223,7 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
         )
         return s, accum
 
-    def superstep(s, accum):
+    def superstep(s, accum, aux=None):
         B = s["ro"].shape[0]
         alive = s["alive"]
         minT = MIN_T + s["cone_w"] * 0.0
@@ -176,9 +245,20 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             # they keep no tree node live in the tile-union cluster walk
             # instead of re-tracing their stale rays at full cost (round-2
             # meshdiag: 39% occupancy => ~60% of traced lane-slots were
-            # dead, and each polluted its tile's cluster union)
+            # dead, and each polluted its tile's cluster union). With the
+            # pre-pass, fresh lanes are inert too: their first hit is
+            # already in the state (gathered from the pre table at refill)
+            live_trace = alive & ~s["fresh"] if use_prepass else alive
             hr = tracer.closest(scene, s["ro"], s["rd"], minT,
-                                jnp.where(alive, infT, -jnp.inf))
+                                jnp.where(live_trace, infT, -jnp.inf))
+            if use_prepass:
+                fr = s["fresh"]
+                hr = intersect.HitResult(
+                    t=jnp.where(fr, s["pre_t"], hr.t),
+                    prim_type=jnp.where(fr, s["pre_ptype"], hr.prim_type),
+                    prim_id=jnp.where(fr, s["pre_pid"], hr.prim_id),
+                    u=jnp.where(fr, s["pre_u"], hr.u),
+                    v=jnp.where(fr, s["pre_v"], hr.v))
         if "hitinfo" in ab:
             n = -s["rd"]
             hi = intersect.HitInfo(
@@ -345,28 +425,34 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             prev_delta=jnp.where(cont, mat_delta, s["prev_delta"]),
             d=jnp.where(cont, s["d"] + 1, s["d"]),
         )
-        return refill(s, accum, terminated)
+        return refill(s, accum, terminated, aux)
 
     return superstep
 
 
-def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None):
+def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None,
+             use_morton=False, use_prepass=False):
     """Jitted run-to-completion: the whole frame in ONE device call —
-    supersteps loop on-device (no host syncs, no per-call arg overhead)."""
-    superstep = make_superstep(scene, settings, tracer, total_paths)
+    supersteps loop on-device (no host syncs, no per-call arg overhead).
+    ``aux`` (morton pixel order / pre-pass tables) rides as a jit ARGUMENT
+    — the tables change per frame, so closing over them would bake them
+    as constants and recompile every render."""
+    superstep = make_superstep(scene, settings, tracer, total_paths,
+                               use_morton=use_morton,
+                               use_prepass=use_prepass)
     if max_supersteps is None:
         # safety valve far above any real superstep count
         max_supersteps = 70 * (total_paths // B + 1) + 8192
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def run(state, accum):
+    def run(state, accum, aux):
         def cond(c):
             s, _, it = c
             return (s["n_done"] < total_paths) & (it < max_supersteps)
 
         def body(c):
             s, a, it = c
-            s, a = superstep(s, a)
+            s, a = superstep(s, a, aux)
             return s, a, it + 1
 
         s, a, it = jax.lax.while_loop(cond, body,
@@ -376,50 +462,140 @@ def make_run(scene, settings, tracer, total_paths, B, max_supersteps=None):
     return run
 
 
+# --- primary pre-pass ------------------------------------------------------
+
+_PREPASS_CACHE = {}
+
+
+def trace_primaries(scene, settings, tracer, morton_pix, total,
+                    sample_offset=0, chunk_B=None):
+    """Trace every camera ray of the frame in (Morton pixel, sample) work
+    order; returns a table indexed by work id holding the first hit
+    ("pre_t", "pre_ptype", "pre_pid", "pre_u", "pre_v") AND the ray that
+    produced it ("pre_ro", "pre_rd", "pre_cw", "pre_cs").
+
+    Consecutive work ids share a pixel (spp-minor) and Morton-adjacent
+    pixels (major), so each cluster-walk tile covers a tiny frustum —
+    primaries trace at pixel-tile coherence (the megakernel's regime)
+    instead of riding the superstep's mixed Morton-sorted batches.
+
+    The rays ride in the table because camera-ray generation is only
+    reproducible to ~1 ulp across jit contexts (XLA constant-folds
+    different camera subexpressions per graph) — the refill gathers the
+    EXACT ray the hit was traced with, so hit and shading state can
+    never disagree (and fresh lanes skip the per-superstep camera math
+    entirely)."""
+    spp = settings.spp
+    # default the chunk size to the caller's superstep batch so the
+    # cluster kernel keeps the SAME (n_tiles, ...) config — a new tile
+    # count would be a fresh cold Mosaic compile
+    CB = chunk_B or min(1 << 20, -(-total // 8192) * 8192)
+    n_chunks = -(-total // CB)
+
+    key = (id(scene), id(tracer), settings, total, CB)
+    hit = _PREPASS_CACHE.get(key)
+    if hit is not None and hit[0] is scene and hit[1] is tracer:
+        chunk = hit[2]
+    else:
+        @jax.jit
+        def chunk(mpix, k0, samp_off):
+            k = k0 + jnp.arange(CB, dtype=jnp.int32)
+            valid = k < total
+            ks = jnp.where(valid, k, 0)
+            pix = mpix[ks // spp]
+            samp = ks % spp + samp_off
+            ro, rd, cw, cs = _primary_rays(scene, settings, pix, samp)
+            z = ro[:, 0] * 0.0
+            hr = tracer.closest(scene, ro, rd, MIN_T + z,
+                                jnp.where(valid, jnp.inf, -jnp.inf),
+                                sort=False)
+            return (hr.t, hr.prim_type, hr.prim_id, hr.u, hr.v,
+                    ro, rd, cw, cs)
+
+        if len(_PREPASS_CACHE) > 16:
+            _PREPASS_CACHE.clear()
+        _PREPASS_CACHE[key] = (scene, tracer, chunk)
+
+    outs = [chunk(morton_pix, jnp.int32(c * CB),
+                  jnp.int32(sample_offset)) for c in range(n_chunks)]
+    cat = (lambda i: outs[0][i] if n_chunks == 1
+           else jnp.concatenate([o[i] for o in outs]))
+    names = ("pre_t", "pre_ptype", "pre_pid", "pre_u", "pre_v",
+             "pre_ro", "pre_rd", "pre_cw", "pre_cs")
+    return {n: cat(i) for i, n in enumerate(names)}
+
+
 _RUN_CACHE = {}
 
 
-def _cached_run(scene, settings, tracer, total, B):
+def _cached_run(scene, settings, tracer, total, B, use_morton,
+                use_prepass):
     """make_run rebuilds (and re-jits) the whole run-to-completion loop —
     10s of seconds of compile on mesh scenes. Cache the compiled fn per
     (scene, tracer, settings, shapes): repeat renders (slabs, benches,
     sweeps) must pay compile once. Holds scene/tracer refs so ids can't
     be reused while cached."""
-    key = (id(scene), id(tracer), settings, total, B)
+    key = (id(scene), id(tracer), settings, total, B, use_morton,
+           use_prepass)
     hit = _RUN_CACHE.get(key)
     if hit is not None and hit[0] is scene and hit[1] is tracer:
         return hit[2]
-    run = make_run(scene, settings, tracer, total, B)
+    run = make_run(scene, settings, tracer, total, B,
+                   use_morton=use_morton, use_prepass=use_prepass)
     if len(_RUN_CACHE) > 16:
         _RUN_CACHE.clear()
     _RUN_CACHE[key] = (scene, tracer, run)
     return run
 
 
+def _want_prepass(scene, tracer, total):
+    import os
+    return (getattr(tracer, "presortable", False)
+            and scene.n_tris() > 64
+            and total <= PREPASS_MAX_TOTAL
+            and not os.environ.get("VIMG_NO_PREPASS"))
+
+
 def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
                      tracer=None, progress=False, sample_offset=0,
                      return_stats=False):
     """Full-frame MIS render with the refill wavefront."""
+    import os
     import time
     from vimg_tpu.geometry.trace import make_tracer
     tracer = tracer or make_tracer(scene)
     W, H, spp = settings.width, settings.height, settings.spp
     total = W * H * spp
     # an explicit batch_size is authoritative (mesh benches go past the
-    # 128k analytic sweet spot); the dataclass default gets the MAX_LANES
-    # cap from the round-1 lane sweep
-    cap = settings.batch_size
-    if cap == ir.RenderSettings.batch_size:
-        cap = MAX_LANES
+    # 128k analytic sweet spot); the unset (None) default gets the
+    # MAX_LANES cap from the round-1 lane sweep
+    cap = settings.batch_size if settings.batch_size is not None \
+        else MAX_LANES
     B = min(cap, max(total // 2, 1024))
 
-    state = init_state(B)
-    state["samp_off"] = jnp.int32(sample_offset)
-    accum = jnp.zeros((3, W * H), jnp.float32)
-    run = _cached_run(scene, settings, tracer, total, B)
+    use_morton = not os.environ.get("VIMG_NO_MORTON")
+    use_prepass = _want_prepass(scene, tracer, total)
 
     t0 = time.time()
-    state, accum, it = run(state, accum)
+    aux = {}
+    if use_morton or use_prepass:
+        aux["morton_pix"] = jnp.asarray(morton_pixel_order(W, H))
+    if use_prepass:
+        cb = int(os.environ.get("VIMG_PREPASS_CHUNK", 0)) or B
+        aux.update(trace_primaries(scene, settings, tracer,
+                                   aux["morton_pix"], total,
+                                   sample_offset, chunk_B=cb))
+        if not use_morton:     # prepass work order is always Morton
+            use_morton = True
+    pre_dt = time.time() - t0
+
+    state = init_state(B, prepass=use_prepass)
+    state["samp_off"] = jnp.int32(sample_offset)
+    accum = jnp.zeros((3, W * H), jnp.float32)
+    run = _cached_run(scene, settings, tracer, total, B, use_morton,
+                      use_prepass)
+
+    state, accum, it = run(state, accum, aux)
     accum.block_until_ready()
     if progress:
         dt = time.time() - t0
@@ -429,10 +605,12 @@ def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
         print(f"Render Completed: {int(it)} supersteps, "
               f"{total / max(dt, 1e-9) / 1e6:.2f} Mpaths/s, "
               f"{rays / max(dt, 1e-9) / 1e6:.2f} Mrays/s "
-              f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow)")
+              f"({segs / 1e6:.1f}M segments + {shadow / 1e6:.1f}M shadow"
+              + (f"; prepass {pre_dt:.2f}s" if use_prepass else "") + ")")
     img = np.asarray(accum).T.reshape(H, W, 3) / spp
     if return_stats:
         return img, dict(supersteps=int(it),
                          segments=float(state["n_segments"]),
-                         shadow_rays=float(state["n_shadow"]))
+                         shadow_rays=float(state["n_shadow"]),
+                         prepass_seconds=pre_dt if use_prepass else 0.0)
     return img

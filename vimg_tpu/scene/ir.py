@@ -177,8 +177,12 @@ class RenderSettings:
     max_depth: int = 30
     integrator: str = "s_normal"   # s_normal | g_normal | material | mis
     tonemap: str = "clamp"         # clamp | agx | reinhard | aces
-    # rays processed per device launch; whole frame is chunked to this size
-    batch_size: int = 1 << 20
+    # rays processed per device launch; whole frame is chunked to this
+    # size. None = renderer-chosen default (1<<20 for chunked renders,
+    # wavefront.MAX_LANES for the refill wavefront); an explicit value is
+    # always authoritative — None (not a sentinel value) marks "unset" so
+    # any explicit request, including the old default, is honoured
+    batch_size: int | None = None
     # BSDF eval/pdf precision in the megakernel: "f32" (default) or "bf16"
     # (the VERDICT round-2 experiment: Disney mixture in bf16, geometry and
     # sampled directions stay f32)
