@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from vimg_tpu.utils.compcache import enable_compilation_cache
+
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 
@@ -34,8 +38,9 @@ VARIANTS = [
     ("-bsample", frozenset({"bsample"})),
     ("-trace", frozenset({"trace", "shadow"})),
     ("-hitinfo", frozenset({"hitinfo"})),
+    ("-bg", frozenset({"bg"})),
     ("skeleton", frozenset({"film", "cumsum", "nee", "beval", "bsample",
-                            "trace", "hitinfo"})),
+                            "trace", "hitinfo", "bg"})),
 ]
 
 
@@ -65,9 +70,31 @@ def main():
     ap.add_argument("--mesh", type=int, default=0,
                     help="use the synthetic N-tri mesh scene + ClusterTracer"
                          " instead of --scene")
+    ap.add_argument("--envtex", type=int, default=0,
+                    help="use the textured+env terrain scene (N tris) + "
+                         "ClusterTracer instead of --scene")
+    ap.add_argument("--terrain", type=int, default=0,
+                    help="use the open-terrain scene (N tris, the bench "
+                         "anchor) + ClusterTracer instead of --scene")
     args = ap.parse_args()
 
-    if args.mesh:
+    if args.terrain:
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene import ir
+        from vimg_tpu.scene.synthetic import terrain_scene
+        scene = terrain_scene(args.terrain, width=512, height=256)
+        settings = ir.RenderSettings(width=512, height=256, spp=64,
+                                     max_depth=64, integrator="mis")
+        tracer = ClusterTracer(scene)
+    elif args.envtex:
+        from vimg_tpu.geometry.cluster_trace import ClusterTracer
+        from vimg_tpu.scene import ir
+        from vimg_tpu.scene.synthetic import textured_terrain_scene
+        scene = textured_terrain_scene(args.envtex, width=512, height=256)
+        settings = ir.RenderSettings(width=512, height=256, spp=16,
+                                     max_depth=64, integrator="mis")
+        tracer = ClusterTracer(scene)
+    elif args.mesh:
         from vimg_tpu.geometry.cluster_trace import ClusterTracer
         from vimg_tpu.scene import ir
         from vimg_tpu.scene.synthetic import bumpy_sphere_scene

@@ -47,6 +47,7 @@ CONFIGS = [
     ("morton", {"VIMG_NO_PREPASS": "1"}),
     ("morton_prepass", {}),
 ]
+ONLY = None   # --configs subset
 
 
 def _set_env(env):
@@ -63,6 +64,8 @@ def ab_stage(name, scene, st, total):
     stage = {}
     imgs = {}
     for label, env in CONFIGS:
+        if ONLY is not None and label not in ONLY:
+            continue
         _set_env(env)
         t0 = time.time()
         render_wavefront(scene, st, tracer=tracer)
@@ -86,23 +89,29 @@ def ab_stage(name, scene, st, total):
         RESULTS[name] = stage
         save()
     # estimator parity across configs (statistical, ulp ray-gen diffs)
-    b = imgs["base"]
-    for label in ("morton", "morton_prepass"):
-        d = np.abs(imgs[label] - b)
-        stage[f"dmean_{label}"] = float(d.mean())
+    ref_label = "base" if "base" in imgs else sorted(imgs)[0]
+    b = imgs[ref_label]
+    for label in imgs:
+        if label != ref_label:
+            d = np.abs(imgs[label] - b)
+            stage[f"dmean_{label}"] = float(d.mean())
     RESULTS[name] = stage
     save()
     _set_env({})
 
 
 def main():
+    global OUT
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=OUT)
     ap.add_argument("--stages", default="terrain")
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated subset of config labels")
     args = ap.parse_args()
-    global OUT
     OUT = args.out
     stages = args.stages.split(",")
+    global ONLY
+    ONLY = None if args.configs is None else set(args.configs.split(","))
 
     from vimg_tpu.scene import ir
     from vimg_tpu.scene.synthetic import terrain_scene

@@ -832,6 +832,13 @@ class ClusterTracer:
         do_sort = (self.sort_rays if sort is None else sort) and B > tile
         if do_sort:
             key = ray_sort_key(ro, rd, *self.bounds, mode=self.sort_mode)
+            # inert lanes (maxT=-inf: dead lanes, pre-passed fresh lanes,
+            # no-NEE shadow slots) sort to the TAIL: the walk is
+            # visit-bound, so a dead lane inside a live tile dilutes the
+            # tile's live density and the per-visit cost amortizes over
+            # fewer real rays; segregated, they pack into all-dead tail
+            # tiles that walk straight out
+            key = jnp.where(maxT == -jnp.inf, jnp.int32(2 ** 31 - 1), key)
             perm = jnp.argsort(key)
             ro = jnp.take(ro, perm, axis=0)
             rd = jnp.take(rd, perm, axis=0)

@@ -73,20 +73,41 @@ def build_env_tables(image: np.ndarray, env_to_world=None, radiance_scale=1.0,
 
 
 def _cdf_sample(cdf, u):
-    """Sample a 1D CDF row per ray. cdf: (B, N+1) or (N+1,); u: (B,).
+    """Sample a 1D CDF per ray. cdf: (N+1,); u: (B,).
     Returns (index, offset) like reference ArraySampling1D::sample."""
-    if cdf.ndim == 1:
-        idx = jnp.searchsorted(cdf, u, side="right") - 1
-        idx = jnp.clip(idx, 0, cdf.shape[0] - 2)
-        lo = cdf[idx]
-        hi = cdf[idx + 1]
-    else:
-        idx = jax.vmap(lambda c, x: jnp.searchsorted(c, x, side="right"))(cdf, u) - 1
-        idx = jnp.clip(idx, 0, cdf.shape[-1] - 2)
-        lo = jnp.take_along_axis(cdf, idx[:, None], axis=1)[:, 0]
-        hi = jnp.take_along_axis(cdf, (idx + 1)[:, None], axis=1)[:, 0]
+    idx = jnp.searchsorted(cdf, u, side="right") - 1
+    idx = jnp.clip(idx, 0, cdf.shape[0] - 2)
+    lo = cdf[idx]
+    hi = cdf[idx + 1]
     du = u - lo
     width = hi - lo
+    du = jnp.where(width > 0, du / jnp.maximum(width, 1e-20), du)
+    return idx, du, width
+
+
+def _cdf_sample_rows(cdf2d, row, u):
+    """Per-lane binary search of cdf2d[row, :] WITHOUT materializing the
+    (B, W+1) row gather (which cost B*(W+1) floats of gather traffic per
+    superstep — 0.5+ GB at wavefront batch sizes on real HDRIs). Each
+    bisection round is one (B,) gather from the flat table; results
+    match searchsorted(side=\"right\") - 1 exactly."""
+    H, N = cdf2d.shape                       # N = W + 1
+    flat = cdf2d.reshape(-1)
+    base = row * N
+    lo = jnp.zeros_like(row)
+    hi = jnp.full_like(row, N)
+    for _ in range(int(np.ceil(np.log2(max(N, 2)))) + 1):
+        cont = lo < hi
+        mid = (lo + hi) // 2
+        vm = flat[base + jnp.minimum(mid, N - 1)]
+        go = (vm <= u) & cont
+        lo = jnp.where(go, mid + 1, lo)
+        hi = jnp.where(cont & ~go, mid, hi)
+    idx = jnp.clip(lo - 1, 0, N - 2)
+    lo_v = flat[base + idx]
+    hi_v = flat[base + idx + 1]
+    du = u - lo_v
+    width = hi_v - lo_v
     du = jnp.where(width > 0, du / jnp.maximum(width, 1e-20), du)
     return idx, du, width
 
@@ -99,8 +120,7 @@ def env_sample(scene, r1, r2):
     H = scene.env_cdf_cond.shape[0]
     W = scene.env_cdf_cond.shape[1] - 1
     row, dv, pdf_y = _cdf_sample(scene.env_cdf_rows, r1)
-    cond = scene.env_cdf_cond[row]
-    col, du, pdf_x = _cdf_sample(cond, r2)
+    col, du, pdf_x = _cdf_sample_rows(scene.env_cdf_cond, row, r2)
 
     u = (col.astype(jnp.float32) + du) / W
     v = (row.astype(jnp.float32) + dv) / H
@@ -159,10 +179,41 @@ def _bilinear_level(img, u, v):
     return a * (1 - fy)[..., None] + b * fy[..., None]
 
 
+def _bilinear_flat(flat, off, h, w, u, v):
+    """Bilinear fetch from a flattened mip pyramid with PER-LANE level
+    geometry (off/h/w are (B,) int32): repeat wrap in u, clamped v —
+    value-identical to _bilinear_level at the lane's level."""
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    x = u * wf - 0.5
+    y = v * hf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    x1i = jnp.mod(x0i + 1, w)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    c00 = flat[off + y0i * w + x0i]
+    c10 = flat[off + y0i * w + x1i]
+    c01 = flat[off + y1i * w + x0i]
+    c11 = flat[off + y1i * w + x1i]
+    a = c00 * (1 - fx) + c10 * fx
+    b = c01 * (1 - fx) + c11 * fx
+    return a * (1 - fy) + b * fy
+
+
 def env_emit(scene, world_dir, cone_spread):
     """Radiance for a direction that escaped the scene (reference
     background.h:91-108): lat-long lookup with mip level from the ray-cone
-    spread angle."""
+    spread angle.
+
+    The mip pyramid is read as ONE flat array (the concat folds to a
+    loop-invariant constant under jit; env-texel gradients still flow
+    through it) so each lane pays 8 gathers for its two levels instead of
+    4 x n_levels — the per-level masked-sum loop cost 44+ gathers per
+    call on real HDRI pyramids."""
     d = normalize(world_dir @ scene.world_to_env[:3, :3].T)
     u = (1.0 + jnp.arctan2(-d[..., 0], d[..., 2]) / jnp.pi) * 0.5
     v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
@@ -173,16 +224,17 @@ def env_emit(scene, world_dir, cone_spread):
     n_levels = len(scene.env_mips)
     lam = jnp.clip(lam, 0.0, n_levels - 1.0)
     l0 = jnp.floor(lam)
-    frac = lam - l0
+    frac = (lam - l0)[..., None]
 
-    out = jnp.zeros(world_dir.shape[:-1] + (3,), jnp.float32)
-    for lvl in range(n_levels):
-        w = jnp.where(l0 == lvl, 1.0 - frac, 0.0)
-        if lvl > 0:
-            w = w + jnp.where(l0 == lvl - 1, frac, 0.0)
-        if lvl == n_levels - 1:
-            w = jnp.where(l0 >= lvl, jnp.maximum(w, 1.0 - frac * 0.0), w)
-        need = w > 0.0
-        c = _bilinear_level(scene.env_mips[lvl], u, v)
-        out = out + jnp.where(need[..., None], c * w[..., None], 0.0)
-    return out * scene.env_scale
+    flat = jnp.concatenate([m.reshape(-1, 3) for m in scene.env_mips])
+    hs = np.array([m.shape[0] for m in scene.env_mips], np.int32)
+    ws = np.array([m.shape[1] for m in scene.env_mips], np.int32)
+    offs = np.concatenate([[0], np.cumsum(hs.astype(np.int64) * ws)[:-1]])
+    hs_t, ws_t = jnp.asarray(hs), jnp.asarray(ws)
+    offs_t = jnp.asarray(offs.astype(np.int32))
+
+    l0i = jnp.clip(l0.astype(jnp.int32), 0, n_levels - 1)
+    l1i = jnp.minimum(l0i + 1, n_levels - 1)
+    c0 = _bilinear_flat(flat, offs_t[l0i], hs_t[l0i], ws_t[l0i], u, v)
+    c1 = _bilinear_flat(flat, offs_t[l1i], hs_t[l1i], ws_t[l1i], u, v)
+    return (c0 * (1.0 - frac) + c1 * frac) * scene.env_scale

@@ -60,17 +60,38 @@ def _principled_frame(hit: HitInfo, dir_in):
     return hit.tangent * s, hit.bitangent * s, hit.n_s * s
 
 
-def _principled_params(scene: ir.Scene, mat_id, hit: HitInfo):
+def texture_inputs(scene: ir.Scene, mat_id, hit: HitInfo, cone_width,
+                   ray_dir):
+    """Fetch every per-hit texture input ONCE: base color (with ray-cone
+    LOD) and the metal-rough factors. The wavefront superstep evaluates
+    the BSDF three times per segment (NEE eval, sample, bounce eval) at
+    the SAME hit; passing this dict as ``tex=`` to eval_pdf/sample_mat
+    deduplicates the atlas gathers (the reference likewise reads the
+    textures once per hit via the stored HitInfo, principled.cpp:15-20).
+    """
+    tex = dict(base_col=base_color_at_hit(scene, mat_id, hit, cone_width,
+                                          ray_dir), mr=None)
+    if scene.has_image_tex:
+        from vimg_tpu.textures.texture import metal_rough_at_uv
+        tex["mr"] = metal_rough_at_uv(
+            scene, tgather(scene.mat_tex, mat_id)[..., 2], hit.mr_uv)
+    return tex
+
+
+def _principled_params(scene: ir.Scene, mat_id, hit: HitInfo, mr=None):
     """Gather per-ray principled scalars; metallic/roughness factors are
-    multiplied by the metal-rough texture when present."""
+    multiplied by the metal-rough texture when present. ``mr`` is the
+    precomputed texture factor pair (texture_inputs) or None to fetch."""
     sc = tgather(scene.mat_scalars, mat_id)  # (B, N_MAT_SCALARS)
     metallic = sc[..., ir.MS_METALLIC]
     roughness = sc[..., ir.MS_ROUGHNESS]
     if scene.has_image_tex:
-        from vimg_tpu.textures.texture import metal_rough_at_uv
-        m_r = metal_rough_at_uv(scene, tgather(scene.mat_tex, mat_id)[..., 2], hit.mr_uv)
-        metallic = metallic * m_r[..., 0]
-        roughness = roughness * m_r[..., 1]
+        if mr is None:
+            from vimg_tpu.textures.texture import metal_rough_at_uv
+            mr = metal_rough_at_uv(
+                scene, tgather(scene.mat_tex, mat_id)[..., 2], hit.mr_uv)
+        metallic = metallic * mr[..., 0]
+        roughness = roughness * mr[..., 1]
     return dict(
         eta=sc[..., ir.MS_IOR],
         spec_trans=sc[..., ir.MS_SPEC_TRANS],
@@ -95,11 +116,12 @@ def _lobe_weights(p):
     return w_diff / total, w_clear / total, w_metal / total, w_glass / total
 
 
-def _principled_eval_pdf(scene, mat_id, wi, wo, hit, regularize, base_col):
+def _principled_eval_pdf(scene, mat_id, wi, wo, hit, regularize, base_col,
+                         mr=None):
     """Full mixture eval+pdf (reference principled.h:100-205)."""
     dir_in = -wi
     fu, fv, fw = _principled_frame(hit, dir_in)
-    p = _principled_params(scene, mat_id, hit)
+    p = _principled_params(scene, mat_id, hit, mr)
     half_vec = normalize(dir_in + wo)
 
     alphax, alphay = disney.anisotropic_alphas(p["roughness"], p["anisotropic"])
@@ -172,10 +194,10 @@ def _principled_eval_pdf(scene, mat_id, wi, wo, hit, regularize, base_col):
     return ev, pdf
 
 
-def _principled_sample(scene, mat_id, wi, hit, rands, regularize):
+def _principled_sample(scene, mat_id, wi, hit, rands, regularize, mr=None):
     dir_in = -wi
     fu, fv, fw = _principled_frame(hit, dir_in)
-    p = _principled_params(scene, mat_id, hit)
+    p = _principled_params(scene, mat_id, hit, mr)
     r1, r2 = rands["u"], rands["v"]
     zero = jnp.zeros_like(r1)
 
@@ -238,10 +260,11 @@ def _principled_sample(scene, mat_id, wi, hit, rands, regularize):
 # ---------------------------------------------------------------------------
 
 def sample_mat(scene: ir.Scene, mat_id, wi, hit: HitInfo, rands,
-               regularize) -> ScatterSample:
+               regularize, tex=None) -> ScatterSample:
     """Sample an outgoing direction per ray (reference Material::sample_mat).
 
     ``rands``: dict with keys 'lobe', 'u', 'v', 'fresnel' of (B,) floats.
+    ``tex``: optional precomputed texture_inputs dict.
     """
     mt = tgather(scene.mat_type, mat_id)
     B = mat_id.shape[0]
@@ -271,7 +294,8 @@ def sample_mat(scene: ir.Scene, mat_id, wi, hit: HitInfo, rands,
     # diffuse_light: base sample_mat -> absorbed (valid stays False)
 
     if scene.has_principled:
-        ps = _principled_sample(scene, mat_id, wi, hit, rands, regularize)
+        ps = _principled_sample(scene, mat_id, wi, hit, rands, regularize,
+                                mr=None if tex is None else tex["mr"])
         m = mt == ir.MAT_PRINCIPLED
         wo = jnp.where(m[..., None], ps.wo, wo)
         eta = jnp.where(m, ps.eta, eta)
@@ -311,14 +335,15 @@ def _dielectric_sample(scene, mat_id, wi, hit, rands):
 
 
 def eval_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize,
-             cone_width=None):
+             cone_width=None, tex=None):
     """(f, pdf) pair (reference Material::eval_pdf_pair). Delta materials
-    return (0, 0)."""
+    return (0, 0). ``tex``: optional precomputed texture_inputs dict."""
     mt = tgather(scene.mat_type, mat_id)
     B = mat_id.shape[0]
     f = jnp.zeros((B, 3))
     pdf = jnp.zeros((B,))
-    base_col = base_color_at_hit(scene, mat_id, hit, cone_width, wi)
+    base_col = tex["base_col"] if tex is not None else \
+        base_color_at_hit(scene, mat_id, hit, cone_width, wi)
 
     if scene.has_lambertian:
         cospi = jnp.maximum(0.0, dot(wo, hit.n_s)) * INV_PI
@@ -328,7 +353,8 @@ def eval_pdf(scene: ir.Scene, mat_id, wi, wo, hit: HitInfo, regularize,
 
     if scene.has_principled:
         ev, pp = _principled_eval_pdf(scene, mat_id, wi, wo, hit, regularize,
-                                      base_col)
+                                      base_col,
+                                      mr=None if tex is None else tex["mr"])
         m = mt == ir.MAT_PRINCIPLED
         f = jnp.where(m[..., None], ev, f)
         pdf = jnp.where(m, pp, pdf)

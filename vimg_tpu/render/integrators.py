@@ -256,6 +256,11 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         else:
             nee_cone_w, nee_cone_s = s["cone_w"], s["cone_s"]
 
+        # texture inputs fetched once per bounce (shared by the NEE
+        # eval, BSDF sample and bounce eval — see bsdf.texture_inputs)
+        tex = bsdf.texture_inputs(scene, hi.mat_id, hi, nee_cone_w,
+                                  s["rd"])
+
         # ---- light sampling (NEE) -------------------------------------
         if n_lights > 0:
             pick, lr1, lr2, _rr = rng.uniform4(pix, samp, d,
@@ -275,7 +280,8 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
             occl = tracer.occluded(scene, hi.p, ls.wi, minT, shadow_max)
 
             f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
-                                    s["non_spec"], cone_width=nee_cone_w)
+                                    s["non_spec"], cone_width=nee_cone_w,
+                                    tex=tex)
             ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
             w = _dt(_balance(ls.pdf, _dt(mpdf) * ls.G))
             contrib = (tp * f * ls.radiance
@@ -287,7 +293,7 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
         b1, b2, b3, b4 = rng.uniform4(pix, samp, d, Draw.BSDF_SAMPLE)
         rands = {"lobe": b1, "u": b2, "v": b3, "fresnel": b4}
         sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
-                             s["non_spec"])
+                             s["non_spec"], tex=tex)
         sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),
                                 is_specular=sc.is_specular, valid=sc.valid)
         cont = active & sc.valid          # absorbed paths just stop
@@ -305,7 +311,7 @@ def mis_integrator_loop(scene, settings, tracer, pix, samp,
                               s["eta_scale"])
 
         f2, pdf2 = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                 non_spec, cone_width=cone_w)
+                                 non_spec, cone_width=cone_w, tex=tex)
         # NaN pdf suppression (mis_integrator.cpp:108-114)
         cont = cont & ~jnp.isnan(pdf2)
 

@@ -136,7 +136,7 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
     ``ablate`` is a perf-diagnosis hook (tools/ablate_superstep.py): a set of
     stage names whose work is replaced by cheap stand-ins so on-chip timing
     isolates each stage's cost. Production callers leave it empty. Keys:
-    film, cumsum, nee, shadow, beval, bsample, trace, hitinfo.
+    film, cumsum, nee, shadow, beval, bsample, trace, hitinfo, bg.
 
     ``use_morton``: work ids map to pixels through ``aux["morton_pix"]``
     (see morton_pixel_order) instead of raster order.
@@ -186,16 +186,20 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
                              s["samp"])
         pre = {}
         if use_prepass:
-            # the stored camera ray (not a recomputation: ray generation
-            # is only ulp-reproducible across jit contexts, and hit &
-            # shading must see the SAME ray)
-            ro = aux["pre_ro"][safe_k]
-            rd = aux["pre_rd"][safe_k]
-            cw = aux["pre_cw"][safe_k]
-            cs = aux["pre_cs"][safe_k]
-            pre = {f: jnp.where(take, aux[f][safe_k], s[f])
-                   for f in ("pre_t", "pre_ptype", "pre_pid",
-                             "pre_u", "pre_v")}
+            # ONE contiguous row gather: first hit + the stored camera
+            # ray (not a recomputation: ray generation is only
+            # ulp-reproducible across jit contexts, and hit & shading
+            # must see the SAME ray)
+            row = aux["pre_tab"][safe_k]          # (B, 16)
+            ro = row[:, 5:8]
+            rd = row[:, 8:11]
+            cw = row[:, 11]
+            cs = row[:, 12]
+            vals = dict(pre_t=row[:, 0],
+                        pre_ptype=row[:, 1].astype(jnp.int32),
+                        pre_pid=row[:, 2].astype(jnp.int32),
+                        pre_u=row[:, 3], pre_v=row[:, 4])
+            pre = {f: jnp.where(take, vals[f], s[f]) for f in vals}
         else:
             ro, rd, cw, cs = _primary_rays(scene, settings, new_pix,
                                            new_samp)
@@ -293,8 +297,12 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
 
         # background on miss: direct for fresh rays (mis_integrator.cpp:36-38),
         # MIS-weighted compensation otherwise (mis_integrator.cpp:173-186)
-        bg = emitters.background_emit(scene, s["rd"], s["cone_s"])
-        bgp = emitters.background_pdf(scene, s["rd"]) / max(n_lights, 1)
+        if "bg" in ab:
+            bg = s["rd"] * 0.0 + 0.1
+            bgp = s["rd"][:, 0] * 0.0 + 0.25
+        else:
+            bg = emitters.background_emit(scene, s["rd"], s["cone_s"])
+            bgp = emitters.background_pdf(scene, s["rd"]) / max(n_lights, 1)
         w_bg = jnp.where(s["fresh"] | s["prev_delta"] | (s["prev_pdf"] == 0.0),
                          1.0, _balance(_dt(s["prev_pdf"]), bgp))
         add_bg = missed & (s["fresh"] | scene.bg_is_emissive)
@@ -329,6 +337,13 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             nee_cone_w, nee_cone_s = s["cone_w"], s["cone_s"]
 
         mat_delta = bsdf.is_delta(scene, hi.mat_id)
+        # fetch texture inputs ONCE per segment at the at-hit cone — the
+        # NEE eval, BSDF sample and bounce eval below all shade the same
+        # hit (the reference reads textures once per hit, principled.cpp:
+        # 15-20; deduplicates ~2/3 of the atlas gathers on textured
+        # scenes)
+        tex = None if ("beval" in ab and "bsample" in ab) else \
+            bsdf.texture_inputs(scene, hi.mat_id, hi, nee_cone_w, s["rd"])
         if n_lights > 0 and "nee" not in ab:
             pick, lr1, lr2, _ = rng.uniform4(s["pix"], s["samp"], s["d"],
                                              Draw.LIGHT_SAMPLE)
@@ -354,7 +369,8 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
                 f = hi.n_s * 0.0 + mpdf[:, None] * 0.5
             else:
                 f, mpdf = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], ls.wi, hi,
-                                        s["non_spec"], cone_width=nee_cone_w)
+                                        s["non_spec"], cone_width=nee_cone_w,
+                                        tex=tex)
             ok = do_nee & ~occl & (mpdf != 0.0) & ~jnp.isnan(mpdf)
             w = _dt(_balance(ls.pdf, _dt(mpdf) * ls.G))
             contrib = (throughput * f * ls.radiance
@@ -375,7 +391,7 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
                                     is_specular=b1 > 2.0, valid=b1 < 2.0)
         else:
             sc = bsdf.sample_mat(scene, hi.mat_id, s["rd"], hi, rands,
-                                 s["non_spec"])
+                                 s["non_spec"], tex=tex)
         sc = bsdf.ScatterSample(wo=_dt(sc.wo), eta=_dt(sc.eta),
                                 is_specular=sc.is_specular, valid=sc.valid)
         absorbed = cont & ~sc.valid
@@ -399,7 +415,7 @@ def make_superstep(scene: ir.Scene, settings: ir.RenderSettings, tracer,
             f2 = hi.n_s * 0.0 + pdf2[:, None] * 0.5
         else:
             f2, pdf2 = bsdf.eval_pdf(scene, hi.mat_id, s["rd"], sc.wo, hi,
-                                     non_spec, cone_width=cone_w)
+                                     non_spec, cone_width=cone_w, tex=tex)
         nan_pdf = jnp.isnan(pdf2)
         terminated = terminated | (cont & nan_pdf)
         cont = cont & ~nan_pdf
@@ -484,7 +500,12 @@ def trace_primaries(scene, settings, tracer, morton_pix, total,
     different camera subexpressions per graph) — the refill gathers the
     EXACT ray the hit was traced with, so hit and shading state can
     never disagree (and fresh lanes skip the per-superstep camera math
-    entirely)."""
+    entirely).
+
+    The table is ONE packed (total, 16) f32 array (ints bitcast) so the
+    refill pays a single contiguous row gather per superstep instead of
+    nine strided ones (measured: separate-field gathers cost more than
+    the pre-pass saved)."""
     spp = settings.spp
     # default the chunk size to the caller's superstep batch so the
     # cluster kernel keeps the SAME (n_tiles, ...) config — a new tile
@@ -509,8 +530,16 @@ def trace_primaries(scene, settings, tracer, morton_pix, total,
             hr = tracer.closest(scene, ro, rd, MIN_T + z,
                                 jnp.where(valid, jnp.inf, -jnp.inf),
                                 sort=False)
-            return (hr.t, hr.prim_type, hr.prim_id, hr.u, hr.v,
-                    ro, rd, cw, cs)
+            # int ids ride as exact f32 VALUES (ids < 2^24, the same
+            # guard ClusterData enforces for its hit codes) — a bitcast
+            # would make small ids f32 denormals, which TPU flushes to 0
+            f32 = jnp.float32
+            cols = [hr.t, hr.prim_type.astype(f32), hr.prim_id.astype(f32),
+                    hr.u, hr.v,
+                    ro[:, 0], ro[:, 1], ro[:, 2],
+                    rd[:, 0], rd[:, 1], rd[:, 2], cw, cs,
+                    z, z, z]                      # pad to 16 for alignment
+            return jnp.stack(cols, axis=1)
 
         if len(_PREPASS_CACHE) > 16:
             _PREPASS_CACHE.clear()
@@ -518,11 +547,8 @@ def trace_primaries(scene, settings, tracer, morton_pix, total,
 
     outs = [chunk(morton_pix, jnp.int32(c * CB),
                   jnp.int32(sample_offset)) for c in range(n_chunks)]
-    cat = (lambda i: outs[0][i] if n_chunks == 1
-           else jnp.concatenate([o[i] for o in outs]))
-    names = ("pre_t", "pre_ptype", "pre_pid", "pre_u", "pre_v",
-             "pre_ro", "pre_rd", "pre_cw", "pre_cs")
-    return {n: cat(i) for i, n in enumerate(names)}
+    tab = outs[0] if n_chunks == 1 else jnp.concatenate(outs)
+    return {"pre_tab": tab}
 
 
 _RUN_CACHE = {}
@@ -552,6 +578,7 @@ def _want_prepass(scene, tracer, total):
     import os
     return (getattr(tracer, "presortable", False)
             and scene.n_tris() > 64
+            and scene.n_tris() < (1 << 24)   # ids ride as exact f32 values
             and total <= PREPASS_MAX_TOTAL
             and not os.environ.get("VIMG_NO_PREPASS"))
 
