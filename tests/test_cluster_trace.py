@@ -141,10 +141,9 @@ class TestClusterTracer:
         st = ir.RenderSettings(width=24, height=16, spp=6, max_depth=6,
                                integrator="mis", batch_size=1 << 10)
         tr = ClusterTracer(scene)
-        monkeypatch.setenv("VIMG_NO_PREPASS", "1")
         img_off, stats_off = render_wavefront(scene, st, tracer=tr,
                                               return_stats=True)
-        monkeypatch.delenv("VIMG_NO_PREPASS")
+        monkeypatch.setenv("VIMG_PREPASS", "1")
         img_on, stats_on = render_wavefront(scene, st, tracer=tr,
                                             return_stats=True)
         assert stats_on["prepass_seconds"] > 0.0

@@ -343,7 +343,8 @@ class ClusterData:
 
 def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                        count_stats=False, mode="stream", walk_batch=4,
-                       group_gate=True, walks=1):
+                       group_gate=True, walks=1, sub_width=16,
+                       probe_leaf=None):
     """One kernel instance per RAY TILE; the traversal is an in-kernel
     scalar while_loop over the cluster tree (preorder + skip links, all
     metadata in SMEM): dense slab test of the tile vs the node AABB,
@@ -478,20 +479,34 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                 dma.wait()
 
             def _read_tris(sub0):
-                """Hoist one 16-tri sub-block's scalar constants (12 per
-                tri) so the per-row-group test loop below doesn't re-read
-                them once per group."""
+                """Hoist one sub-block's scalar constants (12 per tri) so
+                the per-row-group test loop below doesn't re-read them
+                once per group."""
+                if probe_leaf == "noreads":
+                    # perf probe: replace the 12 scalar reads per tri
+                    # with literals (measures the read share of leaf
+                    # cost; results are garbage)
+                    return [tuple(0.1 + 0.01 * j for j in range(12))
+                            for k in range(sub0,
+                                           min(sub0 + sub_width, max_k))]
                 return [tuple(tconst(k, j) for j in range(12))
-                        for k in range(sub0, min(sub0 + 16, max_k))]
+                        for k in range(sub0, min(sub0 + sub_width, max_k))]
 
             def _test_group(sub0, consts, g, gate, cg):
-                """Dense tri tests of row group ``g`` vs one 16-tri
-                sub-block. ``gate`` is the per-lane liveness used in the
-                hit mask — conservative row-group culling: a triangle is
-                contained in its sub-block AABB, so a lane whose
-                [minT, entry-bt] ray segment misses the sub-box cannot
-                produce a valid hit."""
+                """Dense tri tests of row group ``g`` vs one sub-block.
+                ``gate`` is the per-lane liveness used in the hit mask —
+                conservative row-group culling: a triangle is contained
+                in its sub-block AABB, so a lane whose [minT, entry-bt]
+                ray segment misses the sub-box cannot produce a valid
+                hit."""
                 btg, codeg, bug, bvg = cg
+                if probe_leaf == "notests":
+                    # perf probe: consume the reads, skip the vector math
+                    acc = 0.0
+                    for row in consts:
+                        for val in row:
+                            acc = acc + val
+                    return (btg + acc * 1e-30, codeg, bug, bvg)
                 oxg, oyg, ozg = oxs[g], oys[g], ozs[g]
                 dxg, dyg, dzg = dxs[g], dys[g], dzs[g]
                 minTg = minTs[g]
@@ -518,10 +533,17 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                 return btg, codeg, bug, bvg
 
             n_sub = max(max_k // 16, 1)
+            n_sub_w = max(max_k // sub_width, 1)
+            # sub-box rows: 16-tri boxes sit at tri rows 2s/2s+1; the
+            # finer 8-tri boxes (when packed) at 2*n_sub + 2s / +1
+            box_base = 0 if sub_width == 16 else 2 * n_sub
+            if sub_width == 8:
+                assert 2 * n_sub + 2 * (max_k // 8) <= max_k, \
+                    "8-tri sub-boxes not packed for this max_k"
 
             def tri_tests(carry4):
-                # 16-tri sub-blocks, each gated on its own AABB (packed in
-                # the spare slots of tri rows 2s / 2s+1 — see ClusterData)
+                # sub_width-tri sub-blocks, each gated on its own AABB
+                # (packed in the spare slots of tri rows — ClusterData)
                 # PER ROW GROUP: a (leaf, sub-box) pair costs dense tests
                 # only in groups whose rays touch the sub-box over their
                 # [minT, entry-bt] segment. occluded (-inf) lanes fail
@@ -536,18 +558,18 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                         tri_buf, dma_sem)
                     dma2.start()
                     dma2.wait()
-                if n_sub == 1:
+                if n_sub_w == 1:
                     masks = [lives]
                 else:
                     bts_e = carry4[0]
                     masks = []
-                    for s in range(n_sub):
-                        slx, sly, slz = (tconst(2 * s, 13),
-                                         tconst(2 * s, 14),
-                                         tconst(2 * s, 15))
-                        shx, shy, shz = (tconst(2 * s + 1, 13),
-                                         tconst(2 * s + 1, 14),
-                                         tconst(2 * s + 1, 15))
+                    for s in range(n_sub_w):
+                        slx, sly, slz = (tconst(box_base + 2 * s, 13),
+                                         tconst(box_base + 2 * s, 14),
+                                         tconst(box_base + 2 * s, 15))
+                        shx, shy, shz = (tconst(box_base + 2 * s + 1, 13),
+                                         tconst(box_base + 2 * s + 1, 14),
+                                         tconst(box_base + 2 * s + 1, 15))
                         row = {}
                         for g in gset:
                             s0x = (slx - oxs[g]) * idxs[g]
@@ -573,19 +595,20 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
 
                 for s in range(len(masks)):
                     def do_sub(c4, s=s):
-                        consts = _read_tris(s * 16)
+                        consts = _read_tris(s * sub_width)
                         bts, codes, bus, bvs = map(list, c4)
                         for g in gset:
                             cg = (bts[g], codes[g], bus[g], bvs[g])
                             if len(gset) > 1:
                                 cg = jax.lax.cond(
                                     ganys[s][g],
-                                    functools.partial(_test_group, s * 16,
+                                    functools.partial(_test_group,
+                                                      s * sub_width,
                                                       consts, g,
                                                       masks[s][g]),
                                     lambda c_: c_, cg)
                             else:
-                                cg = _test_group(s * 16, consts, g,
+                                cg = _test_group(s * sub_width, consts, g,
                                                  masks[s][g], cg)
                             bts[g], codes[g], bus[g], bvs[g] = cg
                         return (tuple(bts), tuple(codes), tuple(bus),
@@ -659,10 +682,11 @@ def _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
 @functools.lru_cache(maxsize=32)
 def _build_trace_fn(n_tiles, n_nodes, max_k, tile_rows, any_hit,
                     interpret, count_stats=False, mode="stream",
-                    walk_batch=4, group_gate=True, walks=1):
+                    walk_batch=4, group_gate=True, walks=1, sub_width=16,
+                    probe_leaf=None):
     kernel = _make_trace_kernel(n_nodes, max_k, tile_rows, any_hit,
                                 count_stats, mode, walk_batch, group_gate,
-                                walks)
+                                walks, sub_width, probe_leaf)
     shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
 
     ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
@@ -760,7 +784,8 @@ class ClusterTracer:
 
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=None, sort_rays=True, sort_mode="origin",
-                 mode="auto", builder="auto", group_gate="auto", walks=1):
+                 mode="auto", builder="auto", group_gate="auto", walks=1,
+                 sub_width="auto", probe_leaf=None):
         on_cpu = jax.default_backend() == "cpu"
         if tile_rows is None:
             # CPU runs the kernel interpreted (Python per grid step):
@@ -783,6 +808,20 @@ class ClusterTracer:
             raise ValueError(f"walks={walks} must evenly divide the "
                              f"{n_groups} row groups")
         self.walks = walks
+        # sub_width: leaf gating granularity — 16-tri sub-boxes, or the
+        # finer 8-tri boxes ClusterData also packs. "auto" = 8 on
+        # accelerators (exact parity, ~4-7% faster closest: r5_probe_d
+        # cam 36.4 -> 33.9 ms, bounce 30.4 -> 29.1 at 131k lanes), 16 on
+        # CPU (interpret cost scales with sub-block count).
+        # probe_leaf: perf-probe kernel variants (see _make_trace_kernel),
+        # never production.
+        if sub_width == "auto":
+            sub_width = 16 if on_cpu else 8
+        if sub_width == 8 and max_k % 8 == 0 and \
+                2 * max(max_k // 16, 1) + 2 * (max_k // 8) > max_k:
+            sub_width = 16          # 8-tri boxes not packed at this max_k
+        self.sub_width = sub_width
+        self.probe_leaf = probe_leaf
         self.data = ClusterData(scene, max_k, builder=builder)
         if mode == "auto":
             fits = self.data.tri_rows.nbytes <= self.RESIDENT_BUDGET_BYTES
@@ -849,7 +888,8 @@ class ClusterTracer:
         fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
                              self.tile_rows, any_hit, interpret, count_stats,
                              self.mode, group_gate=self.group_gate,
-                             walks=self.walks)
+                             walks=self.walks, sub_width=self.sub_width,
+                             probe_leaf=self.probe_leaf)
         # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
         # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]

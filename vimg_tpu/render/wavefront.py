@@ -575,12 +575,20 @@ def _cached_run(scene, settings, tracer, total, B, use_morton,
 
 
 def _want_prepass(scene, tracer, total):
+    """Opt-in (VIMG_PREPASS=1): measured on terrain-100k (r5_probe_a3)
+    the pre-pass loses to Morton work order alone (0.83 vs 0.89 Mpaths/s)
+    — Morton-ordered fresh lanes sort into near-free pure-camera tiles in
+    the superstep trace anyway, so pre-tracing them saves less than the
+    table machinery costs. Kept working+tested for regimes where the
+    walk is leaf-dominated (exact parity: test_prepass_render_parity)."""
     import os
+    if not os.environ.get("VIMG_PREPASS") or \
+            os.environ.get("VIMG_NO_PREPASS"):
+        return False
     return (getattr(tracer, "presortable", False)
             and scene.n_tris() > 64
             and scene.n_tris() < (1 << 24)   # ids ride as exact f32 values
-            and total <= PREPASS_MAX_TOTAL
-            and not os.environ.get("VIMG_NO_PREPASS"))
+            and total <= PREPASS_MAX_TOTAL)
 
 
 def render_wavefront(scene: ir.Scene, settings: ir.RenderSettings,
