@@ -157,6 +157,24 @@ class TestClusterTracer:
         assert (d.max(-1) > 1e-5).mean() < 0.01
         assert np.corrcoef(img_on.ravel(), img_off.ravel())[0, 1] > 0.999
 
+    def test_wide_walk_parity(self):
+        """The wide (8-ary) stack walk is bit-equal to the binary skip
+        walk: same candidate clusters per lane (conservative box tests
+        over the same tree restriction), same tri-test order within a
+        cluster."""
+        scene = _soup_scene(1100)
+        ro, rd, minT, maxT = _rays(B=1536, seed=13)
+        base = ClusterTracer(scene, tile_rows=16)
+        wide = ClusterTracer(scene, tile_rows=16, walk="wide")
+        h0 = base.closest(scene, ro, rd, minT, maxT)
+        h1 = wide.closest(scene, ro, rd, minT, maxT)
+        for a, b in zip(jax.tree_util.tree_leaves(h0),
+                        jax.tree_util.tree_leaves(h1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        o0 = base.occluded(scene, ro, rd, minT, jnp.full((1536,), 4.0))
+        o1 = wide.occluded(scene, ro, rd, minT, jnp.full((1536,), 4.0))
+        np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
     def test_group_gate_parity(self):
         """The TPU production config (per-row-group gated tri tests,
         wide tiles) is bit-equal to the ungated walk: row-group culling

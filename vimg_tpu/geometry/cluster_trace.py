@@ -154,6 +154,83 @@ def cut_clusters(built: dict, node_start, max_k=CLUSTER_K):
     return ranges, tree
 
 
+def build_wide_tree(tree, fan=8):
+    """Collapse the binary cluster tree into a ``fan``-ary one for the
+    wide stack walk: each wide node's children are the frontier obtained
+    by repeatedly expanding binary inner nodes (BFS) until every entry is
+    a cluster leaf or the frontier reaches ``fan``.
+
+    The wide walk pops ONE wide node per serial round and slab-tests its
+    up-to-``fan`` child boxes together — the reductions overlap, so the
+    per-round latency stays near the binary walk's while covering ~3
+    binary levels (the binary walk's serial chain is one node per round;
+    probe r5_probe_f measured cost ~ 1.7 us x rounds).
+
+    Returns dict(boxes (W, fan, 6) f32, refs (W, fan) i32, depth int).
+    refs: >= 0 -> wide node id; < 0 -> cluster id encoded as -(cid+1);
+    empty slots hold ref 0x3FFFFFFF with an inverted (never-hit) box.
+    """
+    cid = tree["cid"]
+    right = tree["right"]
+    lo, hi = tree["lo"], tree["hi"]
+
+    id_of = {}
+    roots = []              # binary node backing each wide node
+
+    def make(b):
+        if b not in id_of:
+            id_of[b] = len(roots)
+            roots.append(b)
+        return id_of[b]
+
+    make(0)
+    boxes, refs = [], []
+    w = 0
+    while w < len(roots):
+        b = roots[w]
+        frontier = [b]
+        # expand the LARGEST-subtree inner entry first (subtree size =
+        # preorder span) so the wide children stay balanced — leftmost
+        # expansion would unroll one spine deep and leave huge siblings
+        skip = tree["skip"]
+        while len(frontier) < fan:
+            inner = [(int(skip[n]) - n, i) for i, n in enumerate(frontier)
+                     if cid[n] < 0]
+            if not inner:
+                break
+            _, i = max(inner)
+            n = frontier[i]
+            frontier[i: i + 1] = [n + 1, int(right[n])]
+        nb = np.zeros((fan, 6), np.float32)
+        nb[:, 0:3] = np.inf          # empty slots: inverted box, never hit
+        nb[:, 3:6] = -np.inf
+        nr = np.full((fan,), 0x3FFFFFFF, np.int32)
+        for i, n in enumerate(frontier):
+            nb[i, 0:3] = lo[n]
+            nb[i, 3:6] = hi[n]
+            nr[i] = -(int(cid[n]) + 1) if cid[n] >= 0 else make(n)
+        boxes.append(nb)
+        refs.append(nr)
+        w += 1
+
+    boxes = np.stack(boxes)
+    refs = np.stack(refs)
+    # max stack depth of the wide DFS: along any root->leaf path each
+    # pushed level adds at most fan-1 siblings plus the descent
+    W = len(roots)
+    depth = np.ones(W, np.int32)
+    for w in range(W - 1, -1, -1):
+        kids = refs[w]
+        d = 1
+        for r in kids:
+            if 0 <= r < 0x3FFFFFFF:
+                d = max(d, 1 + depth[r])
+        depth[w] = d
+    max_stack = int(depth[0]) * fan + fan
+    return dict(boxes=boxes, refs=refs, depth=int(depth[0]),
+                max_stack=max_stack)
+
+
 def _tri_constants_f32(verts, tri_vidx):
     """Plane + dual-basis constants — the shared soa_intersect
     formulation (one implementation, so the cluster path can never drift
@@ -335,6 +412,385 @@ class ClusterData:
                 st3.append((i + 1, d + 1))
                 st3.append((int(tree["right"][i]), d + 1))
         self.tree_depth = maxd
+        self._tree = tree          # retained for lazy wide-walk tables
+        self._wide = None
+
+    def wide_tables(self, fan=8):
+        """SMEM-packed tables for the wide stack walk (built lazily):
+        boxes: child c of wide node w at [w//2, (w%2)*64 + c*8 + j] (6 of
+        8 slots used); refs: [w//16, (w%16)*8 + c]; cl_boxes: cluster cid
+        box at [cid//16, (cid%16)*8 + j] (node_aabbs packing)."""
+        if self._wide is None:
+            wt = build_wide_tree(self._tree, fan)
+            W = wt["boxes"].shape[0]
+            arr = np.zeros((W, fan, 8), np.float32)
+            arr[:, :, :6] = wt["boxes"]
+            arr = arr.reshape(W, fan * 8)
+            W2 = -(-W // 2) * 2
+            wb = np.zeros((W2, 64), np.float32)
+            wb[:W] = arr
+            wb = wb.reshape(W2 // 2, 128)
+            W16 = -(-W // 16) * 16
+            rr = np.full((W16, fan), 0x3FFFFFFF, np.int32)
+            rr[:W] = wt["refs"]
+            rr = rr.reshape(W16 // 16, 128)
+            # per-cluster AABBs (binary-tree leaf boxes) for leaf-pop
+            # per-lane gating
+            tree = self._tree
+            C = self.n_clusters
+            cb = np.zeros((-(-C // 16) * 16, 8), np.float32)
+            leaf = tree["cid"] >= 0
+            cb[tree["cid"][leaf], 0:3] = tree["lo"][leaf]
+            cb[tree["cid"][leaf], 3:6] = tree["hi"][leaf]
+            self._wide = dict(boxes=wb, refs=rr,
+                              cl_boxes=cb.reshape(-1, 128),
+                              n_wide=W, max_stack=wt["max_stack"])
+        return self._wide
+
+
+# ---------------------------------------------------------------------------
+# the wide (8-ary) stack-walk kernel
+# ---------------------------------------------------------------------------
+
+def _make_wide_kernel(n_wide, max_k, tile_rows, any_hit, count_stats=False,
+                      mode="resident_direct", walk_batch=2, sub_width=16,
+                      max_stack=96, fan=8):
+    """One serial round per WIDE node pop: slab-test its up-to-``fan``
+    child boxes together (independent reductions overlap — the binary
+    skip walk pays one latency-bound round PER node, r5_probe_f: cost ~
+    1.7 us x rounds), push live children on an SMEM stack; cluster
+    leaves run the same sub-box-gated dense tri tests as the skip
+    kernel, so hits are bit-identical (same candidate sets, same test
+    order per lane)."""
+    rows_per_cluster = max_k * ROW16 // 128
+    EMPTY = 0x3FFFFFFF
+
+    def kernel(wbox_ref, wref_ref, clbox_ref, tri_hbm,
+               rox, roy, roz, rdx, rdy, rdz, tmin_ref, tmax_ref,
+               bt_ref, code_ref, bu_ref, bv_ref, *rest):
+        if count_stats:
+            stats_ref = rest[0]
+            rest = rest[1:]
+        stack_ref = rest[0]
+        rest = rest[1:]
+        if mode == "resident_direct":
+            tri_buf = dma_sem = None
+        else:
+            tri_buf, dma_sem = rest
+
+        n_groups = tile_rows // 8 if tile_rows > 8 else 1
+        R = tile_rows // n_groups
+        gsl = [pl.ds(g * R, R) for g in range(n_groups)]
+        gset = list(range(n_groups))
+        oxs = [rox[s, :] for s in gsl]
+        oys = [roy[s, :] for s in gsl]
+        ozs = [roz[s, :] for s in gsl]
+        dxs = [rdx[s, :] for s in gsl]
+        dys = [rdy[s, :] for s in gsl]
+        dzs = [rdz[s, :] for s in gsl]
+        minTs = [tmin_ref[s, :] for s in gsl]
+        idxs = [1.0 / jnp.where(d == 0.0, 1e-30, d) for d in dxs]
+        idys = [1.0 / jnp.where(d == 0.0, 1e-30, d) for d in dys]
+        idzs = [1.0 / jnp.where(d == 0.0, 1e-30, d) for d in dzs]
+
+        def _or(xs):
+            return functools.reduce(jnp.logical_or, xs)
+
+        def _slab_any(bxl, byl, bzl, bxh, byh, bzh, bts):
+            """Tile-level liveness of one box (any lane's [minT, bt]
+            segment enters it)."""
+            g_any = []
+            for g in gset:
+                t0x = (bxl - oxs[g]) * idxs[g]
+                t1x = (bxh - oxs[g]) * idxs[g]
+                t0y = (byl - oys[g]) * idys[g]
+                t1y = (byh - oys[g]) * idys[g]
+                t0z = (bzl - ozs[g]) * idzs[g]
+                t1z = (bzh - ozs[g]) * idzs[g]
+                tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                              jnp.minimum(t0y, t1y)),
+                                  jnp.maximum(jnp.minimum(t0z, t1z),
+                                              minTs[g]))
+                tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.minimum(jnp.maximum(t0z, t1z),
+                                               bts[g]))
+                g_any.append(jnp.any(tin <= tout))
+            return _or(g_any)
+
+        def round_(carry):
+            sp0, bts0, codes0, bus0, bvs0, nv, nl = carry
+            valid = sp0 > 0
+            spm = jnp.maximum(sp0 - 1, 0)
+            ref = stack_ref[spm]
+            is_cluster = valid & (ref < 0)
+            is_inner = valid & (ref >= 0) & (ref != EMPTY)
+            c = jnp.maximum(-ref - 1, 0)
+            w = jnp.clip(ref, 0, n_wide - 1)
+
+            # ---- inner round: test the fan child boxes together -------
+            wrow = w // 2
+            wbase = (w % 2) * 64
+
+            def inner_anys():
+                out = []
+                for ci in range(fan):
+                    a = wbase + ci * 8
+                    out.append(jnp.where(
+                        _slab_any(wbox_ref[wrow, a + 0],
+                                  wbox_ref[wrow, a + 1],
+                                  wbox_ref[wrow, a + 2],
+                                  wbox_ref[wrow, a + 3],
+                                  wbox_ref[wrow, a + 4],
+                                  wbox_ref[wrow, a + 5], bts0),
+                        jnp.int32(1), jnp.int32(0)))
+                return tuple(out)
+
+            anys = jax.lax.cond(
+                is_inner, inner_anys,
+                lambda: tuple(jnp.int32(0) for _ in range(fan)))
+
+            # ---- leaf round: sub-box-gated dense tri tests ------------
+            if mode == "resident_direct":
+                def tconst(k, j):
+                    flat = k * ROW16 + j
+                    return tri_hbm[c * rows_per_cluster + flat // 128,
+                                   flat % 128]
+            else:
+                def tconst(k, j):
+                    flat = k * ROW16 + j
+                    return tri_buf[flat // 128, flat % 128]
+
+            def _read_tris(sub0):
+                return [tuple(tconst(k, j) for j in range(12))
+                        for k in range(sub0, min(sub0 + sub_width, max_k))]
+
+            def _test_group(sub0, consts, g, gate, cg):
+                btg, codeg, bug, bvg = cg
+                oxg, oyg, ozg = oxs[g], oys[g], ozs[g]
+                dxg, dyg, dzg = dxs[g], dys[g], dzs[g]
+                minTg = minTs[g]
+                for k, (nx, ny, nz, d0, m1x, m1y, m1z, c1,
+                        m2x, m2y, m2z, c2) in enumerate(consts, sub0):
+                    ro_n = oxg * nx + oyg * ny + ozg * nz
+                    rd_n = dxg * nx + dyg * ny + dzg * nz
+                    par = jnp.abs(rd_n) < 1e-22
+                    t = (d0 - ro_n) / jnp.where(par, 1.0, rd_n)
+                    u = (oxg * m1x + oyg * m1y + ozg * m1z - c1
+                         + t * (dxg * m1x + dyg * m1y + dzg * m1z))
+                    v = (oxg * m2x + oyg * m2y + ozg * m2z - c2
+                         + t * (dxg * m2x + dyg * m2y + dzg * m2z))
+                    hit = (~par & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                           & (t >= minTg) & (t < btg) & gate)
+                    if any_hit:
+                        btg = jnp.where(hit, -jnp.inf, btg)
+                    else:
+                        fcode = (c * max_k + k).astype(jnp.float32)
+                        codeg = jnp.where(hit, fcode, codeg)
+                        bug = jnp.where(hit, u, bug)
+                        bvg = jnp.where(hit, v, bvg)
+                        btg = jnp.where(hit, t, btg)
+                return btg, codeg, bug, bvg
+
+            n_sub = max(max_k // 16, 1)
+            n_sub_w = max(max_k // sub_width, 1)
+            box_base = 0 if sub_width == 16 else 2 * n_sub
+
+            def leaf_tests(carry4):
+                if mode != "resident_direct":
+                    dma = pltpu.make_async_copy(
+                        tri_hbm.at[pl.ds(c * rows_per_cluster,
+                                         rows_per_cluster), :],
+                        tri_buf, dma_sem)
+                    dma.start()
+                    dma.wait()
+                bts_e = carry4[0]
+                # per-lane leaf liveness from the cluster AABB
+                arow = c // 16
+                acol = (c % 16) * 8
+                bxl = clbox_ref[arow, acol + 0]
+                byl = clbox_ref[arow, acol + 1]
+                bzl = clbox_ref[arow, acol + 2]
+                bxh = clbox_ref[arow, acol + 3]
+                byh = clbox_ref[arow, acol + 4]
+                bzh = clbox_ref[arow, acol + 5]
+                lives = {}
+                for g in gset:
+                    t0x = (bxl - oxs[g]) * idxs[g]
+                    t1x = (bxh - oxs[g]) * idxs[g]
+                    t0y = (byl - oys[g]) * idys[g]
+                    t1y = (byh - oys[g]) * idys[g]
+                    t0z = (bzl - ozs[g]) * idzs[g]
+                    t1z = (bzh - ozs[g]) * idzs[g]
+                    tin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                  jnp.minimum(t0y, t1y)),
+                                      jnp.maximum(jnp.minimum(t0z, t1z),
+                                                  minTs[g]))
+                    tout = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                                   jnp.maximum(t0y, t1y)),
+                                       jnp.minimum(jnp.maximum(t0z, t1z),
+                                                   bts_e[g]))
+                    lv = tin <= tout
+                    if any_hit:
+                        lv = lv & (bts_e[g] > -jnp.inf)
+                    lives[g] = lv
+                if n_sub_w == 1:
+                    masks = [lives]
+                else:
+                    masks = []
+                    for s in range(n_sub_w):
+                        slx = tconst(box_base + 2 * s, 13)
+                        sly = tconst(box_base + 2 * s, 14)
+                        slz = tconst(box_base + 2 * s, 15)
+                        shx = tconst(box_base + 2 * s + 1, 13)
+                        shy = tconst(box_base + 2 * s + 1, 14)
+                        shz = tconst(box_base + 2 * s + 1, 15)
+                        row = {}
+                        for g in gset:
+                            s0x = (slx - oxs[g]) * idxs[g]
+                            s1x = (shx - oxs[g]) * idxs[g]
+                            s0y = (sly - oys[g]) * idys[g]
+                            s1y = (shy - oys[g]) * idys[g]
+                            s0z = (slz - ozs[g]) * idzs[g]
+                            s1z = (shz - ozs[g]) * idzs[g]
+                            stin = jnp.maximum(
+                                jnp.maximum(jnp.minimum(s0x, s1x),
+                                            jnp.minimum(s0y, s1y)),
+                                jnp.maximum(jnp.minimum(s0z, s1z),
+                                            minTs[g]))
+                            stout = jnp.minimum(
+                                jnp.minimum(jnp.maximum(s0x, s1x),
+                                            jnp.maximum(s0y, s1y)),
+                                jnp.minimum(jnp.maximum(s0z, s1z),
+                                            bts_e[g]))
+                            row[g] = lives[g] & (stin <= stout)
+                        masks.append(row)
+                ganys = [{g: jnp.any(row[g]) for g in gset}
+                         for row in masks]
+                c4 = carry4
+                for s in range(len(masks)):
+                    def do_sub(c4, s=s):
+                        consts = _read_tris(s * sub_width)
+                        bts, codes, bus, bvs = map(list, c4)
+                        for g in gset:
+                            cg = (bts[g], codes[g], bus[g], bvs[g])
+                            if len(gset) > 1:
+                                cg = jax.lax.cond(
+                                    ganys[s][g],
+                                    functools.partial(_test_group,
+                                                      s * sub_width,
+                                                      consts, g,
+                                                      masks[s][g]),
+                                    lambda c_: c_, cg)
+                            else:
+                                cg = _test_group(s * sub_width, consts, g,
+                                                 masks[s][g], cg)
+                            bts[g], codes[g], bus[g], bvs[g] = cg
+                        return (tuple(bts), tuple(codes), tuple(bus),
+                                tuple(bvs))
+
+                    if len(masks) == 1:
+                        c4 = do_sub(c4)
+                    else:
+                        c4 = jax.lax.cond(
+                            _or([ganys[s][g] for g in gset]), do_sub,
+                            lambda c_: c_, c4)
+                return c4
+
+            bts, codes, bus, bvs = jax.lax.cond(
+                is_cluster, leaf_tests, lambda cr: cr,
+                (bts0, codes0, bus0, bvs0))
+
+            # ---- push live children (preorder: child 0 ends on top) ---
+            sp1 = spm
+            for ci in reversed(range(fan)):
+                r = wref_ref[w // 16, (w % 16) * 8 + ci]
+                do = is_inner & (anys[ci] != 0) & (r != EMPTY)
+
+                @pl.when(do)
+                def _(r=r, sp1=sp1):
+                    stack_ref[sp1] = r
+
+                sp1 = sp1 + jnp.where(do, 1, 0)
+
+            nv = nv + jnp.where(valid, 1.0, 0.0)
+            nl = nl + jnp.where(is_cluster, 1.0, 0.0)
+            return sp1, bts, codes, bus, bvs, nv, nl
+
+        def cond(carry):
+            return carry[0] > 0
+
+        def body(carry):
+            for _ in range(walk_batch):
+                carry = round_(carry)
+            if any_hit:
+                sp, bts = carry[0], carry[1]
+                alive = _or([jnp.any(bts[g] > -jnp.inf) for g in gset])
+                carry = (jnp.where(alive, sp, 0),) + carry[1:]
+            return carry
+
+        stack_ref[0] = jnp.int32(0)
+        zg = jnp.zeros((R, 128), jnp.float32)
+        init = (jnp.int32(1),
+                tuple(tmax_ref[s, :] for s in gsl),
+                tuple(zg - 1.0 for _ in range(n_groups)),
+                tuple(zg for _ in range(n_groups)),
+                tuple(zg for _ in range(n_groups)),
+                jnp.float32(0.0), jnp.float32(0.0))
+        out = jax.lax.while_loop(cond, body, init)
+        _, bts, codes, bus, bvs, nv, nl = out
+        for g, s in enumerate(gsl):
+            bt_ref[s, :] = bts[g]
+            code_ref[s, :] = codes[g]
+            bu_ref[s, :] = bus[g]
+            bv_ref[s, :] = bvs[g]
+        if count_stats:
+            col = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            stats_ref[:] = (jnp.where(col == 0, nv, 0.0)
+                            + jnp.where(col == 1, nl, 0.0))
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_wide_fn(n_tiles, n_wide, max_k, tile_rows, any_hit,
+                   interpret, count_stats=False, mode="resident_direct",
+                   walk_batch=2, sub_width=16, max_stack=96):
+    kernel = _make_wide_kernel(n_wide, max_k, tile_rows, any_hit,
+                               count_stats, mode, walk_batch, sub_width,
+                               max_stack)
+    shape = jax.ShapeDtypeStruct((n_tiles * tile_rows, 128), jnp.float32)
+    ray_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile_rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [shape, shape, shape, shape]
+    out_specs = [out_spec, out_spec, out_spec, out_spec]
+    if count_stats:
+        out_shape.append(jax.ShapeDtypeStruct((n_tiles * 8, 128),
+                                              jnp.float32))
+        out_specs.append(pl.BlockSpec((8, 128), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+    tri_space = pl.ANY if mode == "stream" else pltpu.VMEM
+    scratch = [pltpu.SMEM((max_stack,), jnp.int32)]
+    if mode != "resident_direct":
+        scratch += [pltpu.VMEM((max_k * ROW16 // 128, 128), jnp.float32),
+                    pltpu.SemaphoreType.DMA(())]
+    fn = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # wide child boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # wide child refs
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # cluster boxes
+            pl.BlockSpec(memory_space=tri_space),       # cluster tri table
+        ] + [ray_spec] * 8,
+        out_shape=tuple(out_shape),
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------
@@ -785,7 +1241,7 @@ class ClusterTracer:
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=None, sort_rays=True, sort_mode="origin",
                  mode="auto", builder="auto", group_gate="auto", walks=1,
-                 sub_width="auto", probe_leaf=None):
+                 sub_width="auto", probe_leaf=None, walk="skip"):
         on_cpu = jax.default_backend() == "cpu"
         if tile_rows is None:
             # CPU runs the kernel interpreted (Python per grid step):
@@ -808,15 +1264,17 @@ class ClusterTracer:
             raise ValueError(f"walks={walks} must evenly divide the "
                              f"{n_groups} row groups")
         self.walks = walks
-        # sub_width: leaf gating granularity — 16-tri sub-boxes, or the
-        # finer 8-tri boxes ClusterData also packs. "auto" = 8 on
-        # accelerators (exact parity, ~4-7% faster closest: r5_probe_d
-        # cam 36.4 -> 33.9 ms, bounce 30.4 -> 29.1 at 131k lanes), 16 on
-        # CPU (interpret cost scales with sub-block count).
+        # sub_width: leaf gating granularity — 16-tri sub-boxes (default)
+        # or the finer 8-tri boxes ClusterData also packs. Probe history:
+        # r5_probe_d showed 8 winning, but its population was an all-sky
+        # Morton corner (zero hits); the corrected r5_probe_g sweep on a
+        # real frame mix has 16 slightly ahead on both populations
+        # (cam 44.8 vs 45.7 ms, bounce 94.7 vs 97.6 at 131k lanes), so
+        # 16 stays the default everywhere.
         # probe_leaf: perf-probe kernel variants (see _make_trace_kernel),
         # never production.
         if sub_width == "auto":
-            sub_width = 16 if on_cpu else 8
+            sub_width = 16
         if sub_width == 8 and max_k % 8 == 0 and \
                 2 * max(max_k // 16, 1) + 2 * (max_k // 8) > max_k:
             sub_width = 16          # 8-tri boxes not packed at this max_k
@@ -830,12 +1288,24 @@ class ClusterTracer:
         self.tile_rows = tile_rows
         self.sort_rays = sort_rays
         self.sort_mode = sort_mode
+        # walk="wide": pop one 8-ary node per serial round, testing its
+        # child boxes together (overlapped reductions) instead of one
+        # binary node per round — same hits, fewer latency-bound rounds
+        self.walk = walk
         self.bounds = (jnp.asarray(self.data.scene_lo),
                        jnp.asarray(self.data.scene_hi))
         self.tri_rows = jnp.asarray(self.data.tri_rows)
-        self.node_tables = (jnp.asarray(self.data.node_aabbs),
-                            jnp.asarray(self.data.node_cid),
-                            jnp.asarray(self.data.node_skip))
+        if walk == "wide":
+            wt = self.data.wide_tables()
+            self.n_wide = wt["n_wide"]
+            self.max_stack = wt["max_stack"]
+            self.node_tables = (jnp.asarray(wt["boxes"]),
+                                jnp.asarray(wt["refs"]),
+                                jnp.asarray(wt["cl_boxes"]))
+        else:
+            self.node_tables = (jnp.asarray(self.data.node_aabbs),
+                                jnp.asarray(self.data.node_cid),
+                                jnp.asarray(self.data.node_skip))
         self.perm = jnp.asarray(self.data.perm)
         from vimg_tpu.geometry.soa_intersect import build_constants
         _, self.sph_c = build_constants(scene)
@@ -885,11 +1355,21 @@ class ClusterTracer:
             maxT = jnp.take(maxT, perm)
 
         interpret = jax.default_backend() == "cpu"
-        fn = _build_trace_fn(n_tiles, self.data.n_nodes, self.data.max_k,
-                             self.tile_rows, any_hit, interpret, count_stats,
-                             self.mode, group_gate=self.group_gate,
-                             walks=self.walks, sub_width=self.sub_width,
-                             probe_leaf=self.probe_leaf)
+        if self.walk == "wide":
+            fn = _build_wide_fn(n_tiles, self.n_wide, self.data.max_k,
+                                self.tile_rows, any_hit, interpret,
+                                count_stats, self.mode,
+                                sub_width=self.sub_width,
+                                max_stack=self.max_stack)
+        else:
+            fn = _build_trace_fn(n_tiles, self.data.n_nodes,
+                                 self.data.max_k,
+                                 self.tile_rows, any_hit, interpret,
+                                 count_stats,
+                                 self.mode, group_gate=self.group_gate,
+                                 walks=self.walks,
+                                 sub_width=self.sub_width,
+                                 probe_leaf=self.probe_leaf)
         # padding lanes get maxT=-inf: tin >= minT=0 > tout, so they never
         # keep a node live (an all-padding tail tile walks straight out)
         args = ([_pack_rays(ro[:, k], n_pad) for k in range(3)]

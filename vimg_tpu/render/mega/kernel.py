@@ -72,6 +72,7 @@ _FORCE_STREAM = False        # test hook: stream even below the budget
 # inner loop once dot-kernel compile times are workable (~9 min cold).
 MEGA_MAX_MATERIALS = 256
 MEGA_MAX_LIGHTS = 48
+MEGA_MAX_SPHERES = 64
 
 
 def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
@@ -85,7 +86,8 @@ def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:
     n_prims = scene.n_tris() + scene.n_spheres()
     if not (0 < n_prims):
         return False
-    if scene.n_tris() > MESH_MEGA_MAX_TRIS or scene.n_spheres() > 64:
+    if scene.n_tris() > MESH_MEGA_MAX_TRIS \
+            or scene.n_spheres() > MEGA_MAX_SPHERES:
         return False
     if (scene.mat_type.shape[0] > MEGA_MAX_MATERIALS
             or scene.n_lights() > MEGA_MAX_LIGHTS):

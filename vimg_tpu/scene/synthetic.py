@@ -188,6 +188,33 @@ def textured_terrain_scene(n_tris=100_000, width=512, height=256, seed=0,
                    bg_light=bg_light)
 
 
+def many_lights_scene(n_lights=256, width=512, height=256, seed=0):
+    """Analytic scene with ``n_lights`` emissive spheres over a ground
+    plane — the megakernel light-cap workload (real glTF scenes register
+    every emissive primitive as a light, reference gltf_loading.cpp:
+    87-104; the NEE light fetch is a per-lane select chain whose cost
+    scales with the light count)."""
+    rs = np.random.RandomState(seed + 3)
+    b = SceneBuilder()
+    ground = b.add_material(ir.MAT_LAMBERTIAN, base=(0.55, 0.52, 0.48))
+    b.add_quad(ground, np.diag([30.0, 1e-3, 30.0, 1.0]).astype(np.float32))
+    # an 8-material emissive palette shared across lights keeps the
+    # material count flat while the LIGHT count sweeps
+    palette = [b.add_material(ir.MAT_DIFFUSE_LIGHT,
+                              base=tuple(2.0 + 6.0 * rs.rand(3)))
+               for _ in range(8)]
+    side = int(np.ceil(np.sqrt(n_lights)))
+    for k in range(n_lights):
+        i, j = divmod(k, side)
+        x = (i - side / 2) * 1.6 + 0.3 * rs.randn()
+        z = (j - side / 2) * 1.6 + 0.3 * rs.randn()
+        y = 2.0 + rs.rand() * 2.0
+        b.add_sphere((x, y, z), 0.12, palette[k % 8])
+    cam = Camera.make(look_at([0.0, 3.5, 14.0], [0.0, 1.0, 0.0],
+                              [0.0, 1.0, 0.0]), width, height, 50.0)
+    return b.build(camera=cam, bg_color=(0.02, 0.02, 0.03))
+
+
 def multi_material_terrain_scene(n_tris=100_000, n_mats=128, width=512,
                                  height=256, seed=0):
     """Terrain with ``n_mats`` distinct Principled materials striped
