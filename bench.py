@@ -158,9 +158,12 @@ def bench_mesh(n_tris=100_000, spp=64):
     return out
 
 
-def bench_mesh_500k(spp=16):
+def bench_mesh_500k(spp=64):
     """HBM-streamed mesh scale point: 500k tris exceeds the resident
-    cluster-table budget, exercising the per-leaf DMA walk."""
+    cluster-table budget, exercising the per-leaf DMA walk. spp matches
+    the terrain stage (the reference's mesh showcases run 512 spp;
+    low-spp frames underrate steady-state throughput — less refill
+    occupancy and pixel coherence)."""
     from vimg_tpu.geometry.cluster_trace import ClusterTracer
     from vimg_tpu.render.wavefront import render_wavefront
     from vimg_tpu.scene import ir
@@ -178,7 +181,7 @@ def bench_mesh_500k(spp=16):
     return {"mesh500k_paths_per_s": round(total / dt, 1)}
 
 
-def bench_envtex(spp=16):
+def bench_envtex(spp=64):
     """Env-lit textured mesh (the lego/statues workload class,
     reference README.md:87-90): wavefront + ClusterTracer with image
     textures, mip/ray-cone LOD and env-map NEE."""

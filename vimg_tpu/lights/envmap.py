@@ -1,11 +1,16 @@
-"""HDR environment map: lat-long radiance map with luminance·sin(θ) CDF
+"""HDR environment map: lat-long radiance map with luminance·sin(θ)
 importance sampling (reference include/background.h:70-179 and the CDF
 tables of include/rng/sampling.h:107-223).
 
-The CDFs are built host-side (numpy) at load time; sampling/pdf/emission are
-jittable. A vectorized ``searchsorted`` replaces the reference's per-sample
-binary search — on TPU it lowers to log2(N) gather/compare rounds over the
-whole wavefront at once.
+TPU-first design: the reference's row-marginal x per-row-conditional CDF
+binary search becomes an ALIAS TABLE over the flat (H*W,) texel
+distribution — the identical probability mass p_texel = w / sum(w), but
+one (prob, alias) gather per sample instead of log2(W) gather rounds
+(measured round 5: the CDF search machinery cost ~28 ms per 131k-lane
+superstep; alias sampling is 2 gathers + arithmetic). The solid-angle
+pdf rides a precomputed per-texel table shared by the sampler and the
+MIS pdf query, so the two can never disagree. Tables are built
+host-side (numpy, Vose's method) at load time.
 """
 from __future__ import annotations
 
@@ -31,22 +36,18 @@ def build_env_tables(image: np.ndarray, env_to_world=None, radiance_scale=1.0,
     sin_el = np.sin(PI * v)
     weighted = lum * sin_el[:, None]
 
-    # per-row conditional CDFs (reference ArraySampling1D semantics,
-    # incl. the uniform fallback for all-zero rows)
-    row_int = weighted.sum(axis=1)
-    cond = np.zeros((H, W + 1), np.float32)
-    cond[:, 1:] = np.cumsum(weighted, axis=1)
-    nz = row_int > 0
-    cond[nz] /= row_int[nz, None]
-    cond[~nz] = np.linspace(0.0, 1.0, W + 1, dtype=np.float32)[None]
-
-    rows = np.zeros(H + 1, np.float32)
-    rows[1:] = np.cumsum(row_int)
-    total = rows[-1]
+    # flat texel distribution -> alias tables (Vose) + per-texel pdf
+    flat_w = weighted.reshape(-1).astype(np.float64)
+    total = flat_w.sum()
+    N = flat_w.size
     if total > 0:
-        rows /= total
+        p = flat_w / total
     else:
-        rows = np.linspace(0.0, 1.0, H + 1, dtype=np.float32)
+        p = np.full(N, 1.0 / N)
+    prob, alias = _build_alias(p)
+    # solid-angle pdf = p_texel * W*H / (2 pi^2 sin(theta)); the sin
+    # factor is continuous in the sampled point, so it divides at use
+    pdf_w = (p * (W * H) / (2.0 * PI * PI)).astype(np.float32)
 
     # mip chain (simple 2x2 box; env lookups only need coarse LOD)
     mips = [jnp.asarray(image)]
@@ -65,63 +66,64 @@ def build_env_tables(image: np.ndarray, env_to_world=None, radiance_scale=1.0,
 
     return dict(
         env_mips=tuple(mips),
-        env_cdf_rows=jnp.asarray(rows),
-        env_cdf_cond=jnp.asarray(cond),
+        env_alias=jnp.asarray(alias),
+        env_prob=jnp.asarray(prob),
+        env_pdf_w=jnp.asarray(pdf_w),
         env_to_world=jnp.asarray(env_to_world),
         world_to_env=jnp.asarray(world_to_env),
         env_scale=jnp.float32(radiance_scale))
 
 
-def _cdf_sample(cdf, u):
-    """Sample a 1D CDF per ray. cdf: (N+1,); u: (B,).
-    Returns (index, offset) like reference ArraySampling1D::sample."""
-    idx = jnp.searchsorted(cdf, u, side="right") - 1
-    idx = jnp.clip(idx, 0, cdf.shape[0] - 2)
-    lo = cdf[idx]
-    hi = cdf[idx + 1]
-    du = u - lo
-    width = hi - lo
-    du = jnp.where(width > 0, du / jnp.maximum(width, 1e-20), du)
-    return idx, du, width
-
-
-def _cdf_sample_rows(cdf2d, row, u):
-    """Per-lane binary search of cdf2d[row, :] WITHOUT materializing the
-    (B, W+1) row gather (which cost B*(W+1) floats of gather traffic per
-    superstep — 0.5+ GB at wavefront batch sizes on real HDRIs). Each
-    bisection round is one (B,) gather from the flat table; results
-    match searchsorted(side=\"right\") - 1 exactly."""
-    H, N = cdf2d.shape                       # N = W + 1
-    flat = cdf2d.reshape(-1)
-    base = row * N
-    lo = jnp.zeros_like(row)
-    hi = jnp.full_like(row, N)
-    for _ in range(int(np.ceil(np.log2(max(N, 2)))) + 1):
-        cont = lo < hi
-        mid = (lo + hi) // 2
-        vm = flat[base + jnp.minimum(mid, N - 1)]
-        go = (vm <= u) & cont
-        lo = jnp.where(go, mid + 1, lo)
-        hi = jnp.where(cont & ~go, mid, hi)
-    idx = jnp.clip(lo - 1, 0, N - 2)
-    lo_v = flat[base + idx]
-    hi_v = flat[base + idx + 1]
-    du = u - lo_v
-    width = hi_v - lo_v
-    du = jnp.where(width > 0, du / jnp.maximum(width, 1e-20), du)
-    return idx, du, width
+def _build_alias(p):
+    """Vose's alias method: O(N) build of (prob, alias) such that
+    sampling j0 ~ U{0..N-1}, accepting j0 with probability prob[j0] and
+    falling back to alias[j0] draws texel j with probability p[j]."""
+    N = p.size
+    scaled = p * N
+    alias = np.zeros(N, np.int32)
+    prob = np.ones(N, np.float32)
+    small = [i for i in range(N) if scaled[i] < 1.0]
+    large = [i for i in range(N) if scaled[i] >= 1.0]
+    scaled = scaled.copy()
+    while small and large:
+        s_i = small.pop()
+        l_i = large.pop()
+        prob[s_i] = np.float32(scaled[s_i])
+        alias[s_i] = l_i
+        scaled[l_i] = (scaled[l_i] + scaled[s_i]) - 1.0
+        (small if scaled[l_i] < 1.0 else large).append(l_i)
+    for i in large + small:
+        prob[i] = 1.0
+        alias[i] = i
+    return prob, alias
 
 
 def env_sample(scene, r1, r2):
     """Importance-sample the env map. Returns (radiance, wi, pdf_solid_angle).
 
-    Matches reference EnvMap::sample (background.h:110-139).
-    """
-    H = scene.env_cdf_cond.shape[0]
-    W = scene.env_cdf_cond.shape[1] - 1
-    row, dv, pdf_y = _cdf_sample(scene.env_cdf_rows, r1)
-    col, du, pdf_x = _cdf_sample_rows(scene.env_cdf_cond, row, r2)
+    Same texel distribution as reference EnvMap::sample
+    (background.h:110-139), drawn through the alias table: r1 picks the
+    alias slot (its fractional residual is the accept draw, rescaled
+    after the accept/reject into the sub-texel dv — exactly uniform
+    either way); r2 is the sub-texel du."""
+    H = scene.env_mips[0].shape[0]
+    W = scene.env_mips[0].shape[1]
+    N = H * W
+    x = r1 * N
+    j0 = jnp.clip(x.astype(jnp.int32), 0, N - 1)
+    a = x - j0.astype(jnp.float32)            # accept draw in [0, 1)
+    pr = scene.env_prob[j0]
+    accept = a < pr
+    j = jnp.where(accept, j0, scene.env_alias[j0])
+    # rescale the accept residual into a fresh uniform (alias-method
+    # standard trick): a/pr on accept, (a-pr)/(1-pr) on reject
+    dv = jnp.where(accept, a / jnp.maximum(pr, 1e-12),
+                   (a - pr) / jnp.maximum(1.0 - pr, 1e-12))
+    dv = jnp.clip(dv, 0.0, 1.0 - 1e-7)
+    du = r2
 
+    row = j // W
+    col = j % W
     u = (col.astype(jnp.float32) + du) / W
     v = (row.astype(jnp.float32) + dv) / H
 
@@ -129,31 +131,28 @@ def env_sample(scene, r1, r2):
     y = jnp.cos(elevation)
     azimuth = u * 2.0 * jnp.pi
     sin_el = jnp.sin(elevation)
-    x = jnp.sin(azimuth) * sin_el
-    z = -jnp.cos(azimuth) * sin_el
-    wi = jnp.stack([x, y, z], axis=-1)
+    x3 = jnp.sin(azimuth) * sin_el
+    z3 = -jnp.cos(azimuth) * sin_el
+    wi = jnp.stack([x3, y, z3], axis=-1)
     wi = normalize(wi @ scene.env_to_world[:3, :3].T)
 
-    pdf = (pdf_y * pdf_x * W * H) / (2.0 * jnp.pi * jnp.pi
-                                     * jnp.maximum(sin_el, 1e-8))
+    pdf = scene.env_pdf_w[j] / jnp.maximum(sin_el, 1e-8)
     rad = _bilinear_level(scene.env_mips[0], u, v) * scene.env_scale
     return rad, wi, pdf
 
 
 def env_pdf(scene, world_dir):
-    """Solid-angle pdf for direction (reference background.h:141-169)."""
-    H = scene.env_cdf_cond.shape[0]
-    W = scene.env_cdf_cond.shape[1] - 1
+    """Solid-angle pdf for direction (reference background.h:141-169) —
+    ONE gather from the same per-texel table the sampler uses."""
+    H = scene.env_mips[0].shape[0]
+    W = scene.env_mips[0].shape[1]
     d = normalize(world_dir @ scene.world_to_env[:3, :3].T)
     u = (1.0 + jnp.arctan2(-d[..., 0], d[..., 2]) / jnp.pi) * 0.5
     v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
     col = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
     row = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-    pdf_y = scene.env_cdf_rows[row + 1] - scene.env_cdf_rows[row]
-    pdf_x = scene.env_cdf_cond[row, col + 1] - scene.env_cdf_cond[row, col]
     sin_el = jnp.sin(jnp.pi * v)
-    return (pdf_y * pdf_x * W * H) / (2.0 * jnp.pi * jnp.pi
-                                      * jnp.maximum(sin_el, 1e-8))
+    return scene.env_pdf_w[row * W + col] / jnp.maximum(sin_el, 1e-8)
 
 
 def _bilinear_level(img, u, v):

@@ -71,8 +71,14 @@ _FORCE_STREAM = False        # test hook: stream even below the budget
 # ops/mxu_gather.py, probe-validated bit-exact on-chip) is queued for the
 # inner loop once dot-kernel compile times are workable (~9 min cold).
 MEGA_MAX_MATERIALS = 256
-MEGA_MAX_LIGHTS = 48
-MEGA_MAX_SPHERES = 64
+# light cap raised 48 -> 256 in round 5: the NEE light-fetch select chain
+# is O(n_lights) but its measured slope is gentle (bench_records/
+# r5_probe_h.json, many-lights sphere scene 512x256@32spp: 16 lights
+# 134.9 Mpaths/s, 48 -> 115.3, 128 -> 80.3, 256 -> 52.8 — still ~10x the
+# XLA wavefront on the same scene; compile 36 s at 256). Real glTF scenes
+# register every emissive primitive as a light (gltf_loading.cpp:87-104).
+MEGA_MAX_LIGHTS = 256
+MEGA_MAX_SPHERES = 256
 
 
 def supports_megakernel(scene: ir.Scene, settings: ir.RenderSettings) -> bool:

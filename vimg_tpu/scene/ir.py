@@ -111,8 +111,12 @@ class Scene:
 
     # ---- env map ----
     env_mips: Tuple[jax.Array, ...]    # tuple of (H_l, W_l, 3) radiance maps
-    env_cdf_rows: jax.Array            # (H+1,) marginal CDF over rows
-    env_cdf_cond: jax.Array            # (H, W+1) per-row conditional CDF
+    # alias-method importance sampler over the flat (H*W,) luminance*sin
+    # distribution: one (prob, alias) gather per sample instead of a
+    # binary search per CDF row (lights/envmap.py)
+    env_alias: jax.Array               # (H*W,) i32
+    env_prob: jax.Array                # (H*W,) f32 accept probability
+    env_pdf_w: jax.Array               # (H*W,) f32: p_texel * W*H / (2 pi^2)
     env_to_world: jax.Array            # (4, 4)
     world_to_env: jax.Array            # (4, 4)
     env_scale: jax.Array               # () radiance scale
@@ -193,8 +197,9 @@ def _empty_env():
     eye = jnp.eye(4, dtype=jnp.float32)
     return dict(
         env_mips=(jnp.zeros((1, 1, 3), jnp.float32),),
-        env_cdf_rows=jnp.zeros((2,), jnp.float32),
-        env_cdf_cond=jnp.zeros((1, 2), jnp.float32),
+        env_alias=jnp.zeros((1,), jnp.int32),
+        env_prob=jnp.ones((1,), jnp.float32),
+        env_pdf_w=jnp.zeros((1,), jnp.float32),
         env_to_world=eye, world_to_env=eye,
         env_scale=jnp.float32(1.0))
 
