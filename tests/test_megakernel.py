@@ -65,11 +65,19 @@ class TestSupports:
 
     def test_many_spheres_rejected(self):
         scene, st = _simple_scene()
-        # >64 spheres -> unrolled select chains don't scale; XLA path
-        scene = scene.replace(sph_center=np.zeros((65, 3), np.float32),
-                              sph_radius=np.ones((65,), np.float32),
-                              sph_mat=np.zeros((65,), np.int32))
+        # cap raised to 256 in round 5 (measured chain slope,
+        # bench_records/r5_probe_h.json); beyond it the unrolled select
+        # chains still fall back to the XLA path
+        n = 257
+        scene = scene.replace(sph_center=np.zeros((n, 3), np.float32),
+                              sph_radius=np.ones((n,), np.float32),
+                              sph_mat=np.zeros((n,), np.int32))
         assert not supports_megakernel(scene, st)
+        n = 72          # inside the new cap
+        scene = scene.replace(sph_center=np.zeros((n, 3), np.float32),
+                              sph_radius=np.ones((n,), np.float32),
+                              sph_mat=np.zeros((n,), np.int32))
+        assert supports_megakernel(scene, st)
 
     def test_mesh_scene_supported(self):
         from vimg_tpu.scene.synthetic import bumpy_sphere_scene

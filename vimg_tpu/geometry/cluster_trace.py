@@ -1241,7 +1241,7 @@ class ClusterTracer:
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=None, sort_rays=True, sort_mode="origin",
                  mode="auto", builder="auto", group_gate="auto", walks=1,
-                 sub_width="auto", probe_leaf=None, walk="skip"):
+                 sub_width="auto", probe_leaf=None, walk="auto"):
         on_cpu = jax.default_backend() == "cpu"
         if tile_rows is None:
             # CPU runs the kernel interpreted (Python per grid step):
@@ -1290,7 +1290,16 @@ class ClusterTracer:
         self.sort_mode = sort_mode
         # walk="wide": pop one 8-ary node per serial round, testing its
         # child boxes together (overlapped reductions) instead of one
-        # binary node per round — same hits, fewer latency-bound rounds
+        # binary node per round — same hits, fewer latency-bound rounds.
+        # Measured +3-4% e2e on terrain/bumpy 100k (r5_probe_l), so
+        # "auto" picks wide on accelerators when the wide tables fit the
+        # 1 MB SMEM budget (at ~11k clusters/500k tris the padded child-
+        # box table alone is 1.09 MB and the compile fails; skip's packed
+        # tables still fit there). CPU keeps skip (interpret parity
+        # fixtures pin wide explicitly).
+        if walk == "auto":
+            walk = "wide" if (not on_cpu
+                              and self.data.n_clusters <= 4096) else "skip"
         self.walk = walk
         self.bounds = (jnp.asarray(self.data.scene_lo),
                        jnp.asarray(self.data.scene_hi))
