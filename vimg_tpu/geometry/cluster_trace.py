@@ -1243,6 +1243,7 @@ class ClusterTracer:
                  mode="auto", builder="auto", group_gate="auto", walks=1,
                  sub_width="auto", probe_leaf=None, walk="auto"):
         on_cpu = jax.default_backend() == "cpu"
+        tile_rows_defaulted = tile_rows is None
         if tile_rows is None:
             # CPU runs the kernel interpreted (Python per grid step):
             # smaller tiles keep tests fast; results are config-exact
@@ -1301,6 +1302,12 @@ class ClusterTracer:
             walk = "wide" if (not on_cpu
                               and self.data.n_clusters <= 4096) else "skip"
         self.walk = walk
+        if walk == "wide" and tile_rows_defaulted and not on_cpu:
+            # rows sweep for the wide walk (r5_probe_m): 32 -> 0.876,
+            # 64 -> 0.932, 128 -> 0.961 Mpaths/s terrain e2e; 192/256
+            # collapse (vreg spills). The wider tile amortizes each
+            # serial round over 2x the lanes.
+            self.tile_rows = 128
         self.bounds = (jnp.asarray(self.data.scene_lo),
                        jnp.asarray(self.data.scene_hi))
         self.tri_rows = jnp.asarray(self.data.tri_rows)
