@@ -1241,7 +1241,8 @@ class ClusterTracer:
     def __init__(self, scene: ir.Scene, max_k=CLUSTER_K,
                  tile_rows=None, sort_rays=True, sort_mode="origin",
                  mode="auto", builder="auto", group_gate="auto", walks=1,
-                 sub_width="auto", probe_leaf=None, walk="auto"):
+                 sub_width="auto", probe_leaf=None, walk="auto",
+                 wide_batch=2):
         on_cpu = jax.default_backend() == "cpu"
         tile_rows_defaulted = tile_rows is None
         if tile_rows is None:
@@ -1302,6 +1303,7 @@ class ClusterTracer:
             walk = "wide" if (not on_cpu
                               and self.data.n_clusters <= 4096) else "skip"
         self.walk = walk
+        self.wide_batch = wide_batch
         if walk == "wide" and tile_rows_defaulted and not on_cpu:
             # rows sweep for the wide walk (r5_probe_m): 32 -> 0.876,
             # 64 -> 0.932, 128 -> 0.961 Mpaths/s terrain e2e; 192/256
@@ -1375,6 +1377,7 @@ class ClusterTracer:
             fn = _build_wide_fn(n_tiles, self.n_wide, self.data.max_k,
                                 self.tile_rows, any_hit, interpret,
                                 count_stats, self.mode,
+                                walk_batch=self.wide_batch,
                                 sub_width=self.sub_width,
                                 max_stack=self.max_stack)
         else:
